@@ -1,0 +1,25 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference never tested distributed paths without real GPUs; here every
+sharding test runs against 8 virtual CPU devices so multi-chip logic is
+exercised in CI (SURVEY.md §4). Must be set before JAX initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: the suite re-jits many small convs; caching
+# across runs keeps `pytest -q` fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sg3tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,208 @@
+"""Golden tests for the signal-processing op core vs independent NumPy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stylegan3_editing_tpu.ops import (
+    bias_act,
+    design_lowpass_filter,
+    downsample2d,
+    filter2d,
+    filtered_lrelu,
+    modulated_conv2d,
+    setup_filter,
+    upfirdn2d,
+    upsample2d,
+)
+
+from oracles import (
+    bias_act_np,
+    filtered_lrelu_np,
+    modulated_conv2d_np,
+    upfirdn2d_np,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)), jnp.float32)
+
+
+# ---------------------------------------------------------------- upfirdn2d
+
+UPFIRDN_CASES = [
+    # (up, down, padding, f_shape, flip, gain)
+    (1, 1, 0, (3, 3), False, 1),
+    (2, 1, (2, 1), (4,), False, 4),
+    (2, 1, (5, 4, 3, 2), (12,), False, 4),
+    (1, 2, 2, (12,), False, 1),
+    (2, 2, (3, 3), (6, 6), True, 2),
+    (4, 1, (6, 5), (8,), False, 16),
+    (1, 1, (-1, 2, 0, -1), (3, 3), False, 1),
+    (1, 1, 1, None, False, 3),
+    (3, 2, (4, 4), (9,), False, 9),
+]
+
+
+@pytest.mark.parametrize("up,down,padding,fshape,flip,gain", UPFIRDN_CASES)
+def test_upfirdn2d_golden(up, down, padding, fshape, flip, gain):
+    x = RNG.randn(2, 3, 8, 8).astype(np.float32)  # NCHW for the oracle
+    f = None if fshape is None else RNG.randn(*fshape).astype(np.float32)
+    want = upfirdn2d_np(x, f, up=up, down=down, padding=padding,
+                        flip_filter=flip, gain=gain)
+    got = upfirdn2d(nhwc(x), f, up=up, down=down, padding=padding,
+                    flip_filter=flip, gain=gain)
+    np.testing.assert_allclose(nchw(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_anisotropic():
+    x = RNG.randn(1, 2, 6, 5).astype(np.float32)
+    f = RNG.randn(4, 7).astype(np.float32)
+    want = upfirdn2d_np(x, f, up=(2, 3), down=(1, 2), padding=(3, 2, 4, 1))
+    got = upfirdn2d(nhwc(x), f, up=(2, 3), down=(1, 2), padding=(3, 2, 4, 1))
+    np.testing.assert_allclose(nchw(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_identity():
+    x = RNG.randn(1, 1, 5, 5).astype(np.float32)
+    got = upfirdn2d(nhwc(x), None)
+    np.testing.assert_allclose(nchw(got), x, rtol=0, atol=0)
+
+
+def test_filter2d_same_size():
+    x = RNG.randn(2, 4, 9, 9).astype(np.float32)
+    f = setup_filter([1, 3, 3, 1])
+    y = filter2d(nhwc(x), f)
+    assert nchw(y).shape == x.shape
+
+
+def test_up_down_round_trip_shapes():
+    x = RNG.randn(1, 2, 8, 8).astype(np.float32)
+    f = setup_filter([1, 3, 3, 1])
+    up = upsample2d(nhwc(x), f, up=2)
+    assert up.shape == (1, 16, 16, 2)
+    down = downsample2d(up, f, down=2)
+    assert down.shape == (1, 8, 8, 2)
+
+
+def test_upsample2d_dc_gain():
+    # Upsampling a constant image with a normalized filter keeps its level.
+    x = jnp.ones((1, 8, 8, 1), jnp.float32)
+    f = setup_filter(design_lowpass_filter(12, cutoff=2, width=4, fs=8))
+    y = upsample2d(x, f, up=2)
+    interior = np.asarray(y)[0, 6:-6, 6:-6, 0]
+    np.testing.assert_allclose(interior, 1.0, rtol=1e-4)
+
+
+# ----------------------------------------------------------------- bias_act
+
+@pytest.mark.parametrize("act", ["linear", "relu", "lrelu", "tanh", "sigmoid",
+                                 "elu", "selu", "softplus", "swish"])
+def test_bias_act_golden(act):
+    x = RNG.randn(3, 4, 5, 6).astype(np.float32)
+    b = RNG.randn(4).astype(np.float32)
+    want = bias_act_np(x, b, dim=1, act=act)
+    got = bias_act(jnp.asarray(x), jnp.asarray(b), dim=1, act=act)
+    # fp32 transcendentals differ slightly from the float64 oracle.
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_bias_act_gain_clamp():
+    x = RNG.randn(2, 8).astype(np.float32) * 10
+    want = bias_act_np(x, None, act="lrelu", alpha=0.1, gain=3.0, clamp=5.0)
+    got = bias_act(jnp.asarray(x), act="lrelu", alpha=0.1, gain=3.0, clamp=5.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+# ----------------------------------------------------------- filtered_lrelu
+
+FLRELU_CASES = [
+    # (up, down, padding, fu_taps, fd_taps, clamp)
+    (2, 2, (6, 6), 12, 12, 256),
+    (2, 1, (3, 2, 4, 5), 12, 1, None),
+    (1, 2, (8, 8), 1, 12, 256),
+    (2, 2, (6, 5, 6, 5), 12, 12, None),
+    (1, 1, 2, 1, 1, 1.0),
+]
+
+
+@pytest.mark.parametrize("up,down,padding,fu_taps,fd_taps,clamp", FLRELU_CASES)
+def test_filtered_lrelu_golden(up, down, padding, fu_taps, fd_taps, clamp):
+    x = RNG.randn(2, 3, 10, 10).astype(np.float32)
+    b = RNG.randn(3).astype(np.float32)
+    fu = None if fu_taps == 1 else RNG.randn(fu_taps).astype(np.float32)
+    fd = None if fd_taps == 1 else RNG.randn(fd_taps).astype(np.float32)
+    want = filtered_lrelu_np(x, fu, fd, b, up=up, down=down, padding=padding,
+                             clamp=clamp)
+    got = filtered_lrelu(nhwc(x), fu, fd, jnp.asarray(b), up=up, down=down,
+                         padding=padding, clamp=clamp)
+    np.testing.assert_allclose(nchw(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_filtered_lrelu_radial_filter():
+    x = RNG.randn(1, 2, 12, 12).astype(np.float32)
+    fu = design_lowpass_filter(12, cutoff=3, width=4, fs=16)
+    fd = design_lowpass_filter(12, cutoff=3, width=4, fs=16, radial=True)
+    want = filtered_lrelu_np(x, fu, fd, None, up=2, down=2, padding=(6, 6))
+    got = filtered_lrelu(nhwc(x), fu, fd, None, up=2, down=2, padding=(6, 6))
+    np.testing.assert_allclose(nchw(got), want, rtol=1e-4, atol=1e-4)
+
+
+# -------------------------------------------------------- modulated_conv2d
+
+@pytest.mark.parametrize("kernel,demodulate,input_gain", [
+    (1, True, None),
+    (1, False, None),
+    (3, True, None),
+    (3, True, 0.7),
+    (1, True, "per_channel"),
+])
+def test_modulated_conv2d_golden(kernel, demodulate, input_gain):
+    n, ic, oc, hw = 2, 6, 5, 8
+    x = RNG.randn(n, ic, hw, hw).astype(np.float32)
+    w_oihw = RNG.randn(oc, ic, kernel, kernel).astype(np.float32)
+    s = RNG.randn(n, ic).astype(np.float32) + 1.0
+    ig = RNG.rand(ic).astype(np.float32) + 0.5 if input_gain == "per_channel" else input_gain
+    padding = kernel - 1
+    want = modulated_conv2d_np(x, w_oihw, s, demodulate=demodulate,
+                               padding=padding, input_gain=ig)
+    w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
+    got = modulated_conv2d(nhwc(x), jnp.asarray(w_hwio), jnp.asarray(s),
+                           demodulate=demodulate, padding=padding,
+                           input_gain=None if ig is None else jnp.asarray(ig))
+    np.testing.assert_allclose(nchw(got), want, rtol=2e-4, atol=2e-4)
+
+
+# -------------------------------------------------------------- filter design
+
+def test_design_lowpass_identity():
+    assert design_lowpass_filter(1, 2, 4, 16) is None
+
+
+def test_design_lowpass_separable():
+    f = design_lowpass_filter(12, cutoff=2, width=4, fs=16)
+    assert f.shape == (12,)
+    np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-6)
+
+
+def test_design_lowpass_radial():
+    f = design_lowpass_filter(24, cutoff=128, width=120, fs=512, radial=True)
+    assert f.shape == (24, 24)
+    np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-5)
+    assert np.isfinite(f).all()
+
+
+def test_setup_filter_modes():
+    assert setup_filter(None).shape == (1, 1)  # impulse → full 1x1
+    f1 = setup_filter([1, 3, 3, 1])
+    assert f1.shape == (4, 4)  # short 1-D → outer product
+    f2 = setup_filter(list(range(1, 9)))
+    assert f2.shape == (8,)  # long 1-D stays separable
+    f3 = setup_filter([1, 2, 1], gain=4, separable=True)
+    np.testing.assert_allclose(f3.sum(), 2.0, rtol=1e-6)  # gain^(1/2) * 1
