@@ -7,7 +7,7 @@ exercised in CI (SURVEY.md §4). Must be set before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets 'axon' (TPU tunnel)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; the config flag
+# wins over both.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compile cache: the suite re-jits many small convs; caching

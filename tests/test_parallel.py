@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylegan3_editing_tpu.models.sg3 import Generator, SG3Config
+from stylegan3_editing_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_params,
+)
+
+
+def tiny_cfg():
+    return SG3Config(img_resolution=32, channel_base=1024, channel_max=128,
+                     num_layers=4, num_critical=2, use_bf16=False)
+
+
+def test_mesh_creation():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(shape=(4, 2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_synthesis_matches_single_device():
+    cfg = tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(1), z[:1])
+
+    want = model.apply(variables, z)
+
+    mesh = create_mesh()
+    v_sharded = jax.device_put(variables, replicated(mesh))
+    z_sharded = jax.device_put(z, batch_sharding(mesh))
+    got = jax.jit(lambda v, z: model.apply(v, z))(v_sharded, z_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_weights_sharded_and_correct():
+    cfg = tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(1), z[:1])
+    want = model.apply(variables, z)
+
+    mesh = create_mesh(shape=(4, 2))
+    v_sharded = shard_params(variables, mesh)
+    # At least one wide weight must actually shard over 'model'.
+    leaves = jax.tree_util.tree_leaves(v_sharded["params"])
+    assert any(not s.sharding.is_fully_replicated for s in leaves), (
+        "TP rule sharded nothing")
+    z_sharded = jax.device_put(z, batch_sharding(mesh))
+    got = jax.jit(lambda v, z: model.apply(v, z))(v_sharded, z_sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
