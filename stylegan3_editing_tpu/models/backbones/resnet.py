@@ -1,0 +1,87 @@
+"""ResNet-50 feature extractor (flax NHWC) for the MoCo loss.
+
+Architecture parity: torchvision `resnet50()` minus the fc head, as loaded by
+the reference MoCo loss (/root/reference/criteria/moco_loss.py:17-39).
+The converter accepts both plain torchvision naming and MoCo checkpoints
+(`module.encoder_q.*` prefixes are stripped by the caller).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.image import max_pool2d
+from .common import BatchNorm, bn_from_torch, conv_w, put
+
+_STAGES = ((3, 64, 256, 1), (4, 128, 512, 2), (6, 256, 1024, 2), (3, 512, 2048, 2))
+
+
+class Bottleneck(nn.Module):
+    width: int
+    out_channels: int
+    stride: int
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = BatchNorm(name="bn1")(y, train=train)
+        y = nn.relu(y)
+        y = nn.Conv(self.width, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, name="conv2")(y)
+        y = BatchNorm(name="bn2")(y, train=train)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv3")(y)
+        y = BatchNorm(name="bn3")(y, train=train)
+        if self.downsample:
+            identity = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
+                               use_bias=False, name="down_conv")(x)
+            identity = BatchNorm(name="down_bn")(identity, train=train)
+        return nn.relu(y + identity)
+
+
+class ResNet50Features(nn.Module):
+    """NHWC input → [N, 2048] global-average-pooled features."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, train=train)
+        x = nn.relu(x)
+        x = max_pool2d(x, 3, 2, padding=1)
+        for stage_i, (blocks, width, out_c, stride) in enumerate(_STAGES, start=1):
+            for block_i in range(blocks):
+                x = Bottleneck(
+                    width, out_c,
+                    stride=stride if block_i == 0 else 1,
+                    downsample=block_i == 0,
+                    name=f"layer{stage_i}_{block_i}")(x, train=train)
+        return jnp.mean(x, axis=(1, 2))
+
+
+def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet50 state dict → {'params', 'batch_stats'}."""
+    params: dict = {}
+    stats: dict = {}
+    put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
+    bn_from_torch(params, stats, "bn1", state, "bn1")
+    for stage_i, (blocks, _, _, _) in enumerate(_STAGES, start=1):
+        for block_i in range(blocks):
+            t = f"layer{stage_i}.{block_i}"
+            o = f"layer{stage_i}_{block_i}"
+            for ci in (1, 2, 3):
+                put(params, f"{o}/conv{ci}/kernel",
+                    conv_w(state[f"{t}.conv{ci}.weight"]))
+                bn_from_torch(params, stats, f"{o}/bn{ci}", state, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in state:
+                put(params, f"{o}/down_conv/kernel",
+                    conv_w(state[f"{t}.downsample.0.weight"]))
+                bn_from_torch(params, stats, f"{o}/down_bn", state,
+                              f"{t}.downsample.1")
+    return {"params": params, "batch_stats": stats}

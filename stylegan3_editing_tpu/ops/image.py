@@ -1,0 +1,94 @@
+"""Image-space helpers: layout converters, resizes, adaptive pooling.
+
+`adaptive_avg_pool2d` reproduces torch's AdaptiveAvgPool2d windowing exactly
+(used by the ID loss path, /root/reference/criteria/id_loss.py:14-23) via
+integral images — static shapes, fully vectorized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def nchw_to_nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def nhwc_to_nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _pool_bounds(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    i = np.arange(out_size)
+    starts = (i * in_size) // out_size
+    ends = -((-(i + 1) * in_size) // out_size)  # ceil
+    return starts, ends
+
+
+def adaptive_avg_pool2d(x: jax.Array, output_size) -> jax.Array:
+    """Exact torch-style adaptive average pooling over NHWC images."""
+    oh, ow = (output_size, output_size) if isinstance(output_size, int) else output_size
+    n, h, w, c = x.shape
+    if (h, w) == (oh, ow):
+        return x
+
+    x64 = x.astype(jnp.float32)
+    # Integral image with a leading zero row/col: S[i, j] = sum(x[:i, :j]).
+    s = jnp.cumsum(jnp.cumsum(x64, axis=1), axis=2)
+    s = jnp.pad(s, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+    ys, ye = _pool_bounds(h, oh)
+    xs, xe = _pool_bounds(w, ow)
+    ys, ye, xs, xe = (jnp.asarray(v) for v in (ys, ye, xs, xe))
+
+    # window sum = S[ye, xe] - S[ys, xe] - S[ye, xs] + S[ys, xs]
+    a = s[:, ye][:, :, xe]
+    b = s[:, ys][:, :, xe]
+    cc = s[:, ye][:, :, xs]
+    d = s[:, ys][:, :, xs]
+    counts = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(jnp.float32)
+    out = (a - b - cc + d) / counts[None, :, :, None]
+    return out.astype(x.dtype)
+
+
+def resize_nearest(x: jax.Array, size) -> jax.Array:
+    """Nearest-neighbor resize of NHWC images (torch F.interpolate default)."""
+    oh, ow = (size, size) if isinstance(size, int) else size
+    n, h, w, c = x.shape
+    # torch 'nearest': src = floor(dst * scale), scale = in/out.
+    rows = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+def resize_bilinear(x: jax.Array, size, antialias: bool = False) -> jax.Array:
+    """Bilinear resize (align_corners=False) of NHWC images."""
+    oh, ow = (size, size) if isinstance(size, int) else size
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, oh, ow, c), method="linear",
+                            antialias=antialias)
+
+
+def avg_pool2d(x: jax.Array, window: int, stride=None) -> jax.Array:
+    """Plain average pooling (VALID) over NHWC."""
+    stride = stride or window
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID")
+    return out / (window * window)
+
+
+def max_pool2d(x: jax.Array, window: int, stride: int, padding: int = 0) -> jax.Array:
+    """Max pooling over NHWC (torch MaxPool2d semantics, explicit padding)."""
+    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1),
+        [(lo, hi) for lo, hi in pads])
