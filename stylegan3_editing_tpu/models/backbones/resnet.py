@@ -65,6 +65,68 @@ class ResNet50Features(nn.Module):
         return jnp.mean(x, axis=(1, 2))
 
 
+class BasicBlock(nn.Module):
+    """ResNet-18/34 basic block (used by the ResNet encoder trunks)."""
+
+    channels: int
+    stride: int
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = nn.Conv(self.channels, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, name="conv1")(x)
+        y = BatchNorm(name="bn1")(y, train=train)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
+                    name="conv2")(y)
+        y = BatchNorm(name="bn2")(y, train=train)
+        if self.downsample:
+            identity = nn.Conv(self.channels, (1, 1), strides=self.stride,
+                               use_bias=False, name="down_conv")(x)
+            identity = BatchNorm(name="down_bn")(identity, train=train)
+        return nn.relu(y + identity)
+
+
+RESNET34_LAYERS = ((3, 64), (4, 128), (6, 256), (3, 512))
+
+
+class ResNet34Body(nn.Module):
+    """torchvision resnet34 layer1-4 (no stem), as used by the ReStyle
+    ResNet encoders (restyle_psp_encoders.py:69-81)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for stage_i, (blocks, channels) in enumerate(RESNET34_LAYERS, start=1):
+            for block_i in range(blocks):
+                stride = 2 if (stage_i > 1 and block_i == 0) else 1
+                downsample = block_i == 0 and stage_i > 1
+                x = BasicBlock(channels, stride, downsample,
+                               name=f"layer{stage_i}_{block_i}")(x, train=train)
+        return x
+
+
+def convert_resnet34_body_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet34 state dict (layerN.M.*) → ResNet34Body variables."""
+    params: dict = {}
+    stats: dict = {}
+    for stage_i, (blocks, _) in enumerate(RESNET34_LAYERS, start=1):
+        for block_i in range(blocks):
+            t = f"layer{stage_i}.{block_i}"
+            o = f"layer{stage_i}_{block_i}"
+            for ci in (1, 2):
+                put(params, f"{o}/conv{ci}/kernel",
+                    conv_w(state[f"{t}.conv{ci}.weight"]))
+                bn_from_torch(params, stats, f"{o}/bn{ci}", state, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in state:
+                put(params, f"{o}/down_conv/kernel",
+                    conv_w(state[f"{t}.downsample.0.weight"]))
+                bn_from_torch(params, stats, f"{o}/down_bn", state,
+                              f"{t}.downsample.1")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
     """torchvision resnet50 state dict → {'params', 'batch_stats'}."""
     params: dict = {}
