@@ -85,8 +85,12 @@ def avg_pool2d(x: jax.Array, window: int, stride=None) -> jax.Array:
 
 def max_pool2d(x: jax.Array, window: int, stride: int, padding: int = 0) -> jax.Array:
     """Max pooling over NHWC (torch MaxPool2d semantics, explicit padding)."""
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).min
+    # init must be a concrete scalar so XLA pattern-matches reduce-window-max
+    # (a traced init breaks reverse-mode autodiff).
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = -np.inf
+    else:
+        neg = np.iinfo(np.dtype(x.dtype)).min
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,

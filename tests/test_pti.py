@@ -1,0 +1,77 @@
+"""PTI tests: batched per-image tuning + shared (video) tuning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stylegan3_editing_tpu.inversion import PTI, PTIOptions
+from stylegan3_editing_tpu.models.sg3 import Generator, SG3Config
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SG3Config(img_resolution=32, channel_base=512, channel_max=32,
+                    num_layers=4, num_critical=2, use_bf16=False)
+    model = Generator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, cfg.z_dim)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.z_dim))
+    ws = model.apply(variables, z, method=model.map)
+    targets = model.apply(variables, ws, method=model.synthesize)
+    return cfg, model, variables, ws, targets
+
+
+def test_pti_batched_improves_l2(setup):
+    cfg, model, variables, ws, targets = setup
+    # Pivot: perturbed latents → imperfect reconstruction to tune away.
+    pivot = ws + 0.3 * jax.random.normal(jax.random.PRNGKey(2), ws.shape)
+    pti = PTI(cfg, variables, opts=PTIOptions(
+        learning_rate=1e-2, steps=15, lpips_threshold=0.0, lpips_lambda=0.0))
+
+    base_img = model.apply(variables, pivot, method=model.synthesize)
+    l2_before = float(jnp.mean(jnp.square(base_img - targets)))
+
+    stacked, imgs, metrics = pti.optimize_batch(pivot, targets)
+    l2_after = float(np.mean(metrics["l2"]))
+    assert l2_after < l2_before * 0.7, (l2_before, l2_after)
+
+    # Per-image params are independent copies.
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.shape[0] == 2
+    assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+
+    # Fourier input stage stays frozen (not in the tuned tree).
+    assert "input" not in stacked
+
+    # tuned_variables reproduces the tuned image for image 0.
+    one = jax.tree_util.tree_map(lambda p: p[0], stacked)
+    tuned_vars = pti.tuned_variables(one)
+    img0 = model.apply(tuned_vars, pivot[:1], method=model.synthesize)
+    np.testing.assert_allclose(np.asarray(img0[0]), np.asarray(imgs[0]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pti_early_stop_freezes(setup):
+    cfg, model, variables, ws, targets = setup
+    # Huge threshold → everything converges on step 0; params barely move.
+    pti = PTI(cfg, variables, opts=PTIOptions(
+        learning_rate=1e-2, steps=30, lpips_threshold=1e9, check_every=1))
+    stacked, imgs, metrics = pti.optimize_batch(ws, targets)
+    assert bool(np.all(metrics["converged"]))
+
+
+def test_pti_shared_video_mode(setup):
+    cfg, model, variables, ws, targets = setup
+    pivot = ws + 0.3 * jax.random.normal(jax.random.PRNGKey(3), ws.shape)
+
+    def batches():
+        yield pivot, targets, None
+
+    pti = PTI(cfg, variables, opts=PTIOptions(learning_rate=1e-2,
+                                              lpips_lambda=0.0))
+    tuned, history = pti.optimize_shared(batches, steps=8)
+    assert len(history) == 8
+    assert history[-1]["l2"] <= history[0]["l2"]
+    assert "input" not in tuned
