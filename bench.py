@@ -3,6 +3,10 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no quantitative baseline (BASELINE.md), so
 vs_baseline is null until a reference-hardware number exists.
+
+Timing note: under the axon remote platform `block_until_ready()` does not
+actually wait, so iterations run CHAINED inside one jitted fori_loop and a
+scalar reduction forces completion — wall time is honest end-to-end compute.
 """
 
 from __future__ import annotations
@@ -12,6 +16,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def main():
@@ -19,32 +24,30 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        # batch > 2 at 1024² crashes the axon remote-compile helper (env
-        # limitation, not a model limit); batch 2 keeps the bench robust.
         res, batch, iters = 1024, 2, 10
         cfg = sg3_r_config(res)
     else:  # CPU smoke mode (slim channels) so the bench is runnable anywhere
         res, batch, iters = 64, 1, 2
         cfg = sg3_r_config(res, channel_base=2048, channel_max=64,
                            num_layers=6, use_bf16=False)
+
     model = Generator(cfg)
-    z0 = jnp.zeros((batch, cfg.z_dim), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), z0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, cfg.z_dim), jnp.float32))
 
-    @jax.jit
-    def synth(variables, z):
-        return model.apply(variables, z, truncation_psi=0.7)
+    def body(_):
+        def step(i, acc):
+            z = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(1), i),
+                (batch, cfg.z_dim))
+            img = model.apply(variables, z, truncation_psi=0.7)
+            return acc + jnp.sum(img, dtype=jnp.float32)
+        return lax.fori_loop(0, iters, step, 0.0)
 
-    key = jax.random.PRNGKey(1)
-    z = jax.random.normal(key, (batch, cfg.z_dim))
-    synth(variables, z).block_until_ready()  # compile
-
+    run = jax.jit(body)
+    float(run(0))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        z = jax.random.fold_in(key, i)
-        z = jax.random.normal(z, (batch, cfg.z_dim))
-        out = synth(variables, z)
-    out.block_until_ready()
+    float(run(1))
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt

@@ -1,0 +1,108 @@
+"""Train SetGAN (CLI).
+
+Parity: reference train_setgan.py — config tree → training loop with ticks,
+snapshots, conditional FID. The reference's multiprocessing/NCCL launcher
+(:38-118) is replaced by single-program pjit over the device mesh; its
+timed-restart machinery (exit code 3, :522-530) by snapshot+`--resume`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from pathlib import Path
+from typing import Optional, Tuple
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+from stylegan3_editing_tpu.models.sg3 import SG3Config, sg3_t_config
+from stylegan3_editing_tpu.models.sg3.convert import load_torch_pt, npz_to_variables
+from stylegan3_editing_tpu.setgan.dataset import (
+    ClassImageDataset,
+    ImageMultiSetGenerator,
+    SafeClassImageDataset,
+)
+from stylegan3_editing_tpu.setgan.loss import SetGANLossConfig
+from stylegan3_editing_tpu.setgan.metrics import ConditionalFID
+from stylegan3_editing_tpu.setgan.training_loop import (
+    SetGANTrainConfig,
+    SetGANTrainer,
+)
+from stylegan3_editing_tpu.utils.cli import parse_dataclass
+
+
+@dataclasses.dataclass
+class SetGANCliOptions:
+    outdir: str = "./experiments/setgan"
+    data: str = "./data"
+    resolution: int = 256
+    total_kimg: int = 10000
+    batch: int = 8
+    reference_min: int = 7
+    reference_max: int = 12
+    candidate_min: int = 1
+    candidate_max: int = 4
+    glr: float = 0.0025
+    dlr: float = 0.002
+    ema_kimg: float = 10.0
+    tick_kimg: float = 4.0
+    snapshot_ticks: int = 50
+    eval_ticks: int = 50
+    blur_init_sigma: float = 0.0
+    blur_fade_kimg: float = 0.0
+    pl_weight: float = 0.0
+    seed: int = 0
+    resume: Optional[str] = None
+    generator_path: Optional[str] = None  # pretrained stem (.pt/.npz)
+    # decoder capacity
+    cbase: int = 16384
+    cmax: int = 256
+    syn_layers: int = 7
+    fid_items_per_class: int = 256
+
+
+def main(opts: SetGANCliOptions):
+    run_dir = Path(opts.outdir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    dataset = SafeClassImageDataset.from_folder(opts.data, opts.resolution)
+    data = ImageMultiSetGenerator(
+        dataset, batch_size=opts.batch,
+        reference_range=(opts.reference_min, opts.reference_max),
+        candidate_range=(opts.candidate_min, opts.candidate_max),
+        seed=opts.seed)
+
+    decoder_cfg = sg3_t_config(
+        opts.resolution, channel_base=opts.cbase, channel_max=opts.cmax,
+        num_layers=opts.syn_layers)
+
+    gen_vars = None
+    if opts.generator_path:
+        if opts.generator_path.endswith(".npz"):
+            gen_vars = npz_to_variables(opts.generator_path)
+        else:
+            gen_vars, _ = load_torch_pt(opts.generator_path, decoder_cfg)
+
+    cfg = SetGANTrainConfig(
+        total_kimg=opts.total_kimg, batch_size=opts.batch,
+        g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
+        tick_kimg=opts.tick_kimg, snapshot_ticks=opts.snapshot_ticks,
+        eval_ticks=opts.eval_ticks, seed=opts.seed,
+        loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
+                              blur_fade_kimg=opts.blur_fade_kimg,
+                              pl_weight=opts.pl_weight))
+    trainer = SetGANTrainer(cfg, decoder_cfg, run_dir=str(run_dir),
+                            generator_variables=gen_vars)
+    if opts.resume:
+        trainer.restore(opts.resume)
+
+    trainer.train(iter(data))
+    trainer.snapshot(run_dir / "final")
+    print(f"done at {trainer.cur_nimg / 1000:.1f} kimg, "
+          f"best_fid={trainer.best_fid}")
+
+
+if __name__ == "__main__":
+    main(parse_dataclass(SetGANCliOptions))

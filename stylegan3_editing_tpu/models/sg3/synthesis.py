@@ -215,8 +215,13 @@ class SynthesisLayer(nn.Module):
             input_gain=input_gain,
         )
 
-        up_f = self.up_filter.value if s.up_filter is not None else None
-        down_f = self.down_filter.value if s.down_filter is not None else None
+        # Use the static (numpy) spec filters: they are deterministic from
+        # the config (and equal to any converted checkpoint's buffers), and
+        # static taps unlock the polyphase shift-and-add fast path incl.
+        # exact SVD separation of the radial filters. The buffer variables
+        # stay registered for checkpoint round-trips.
+        up_f = s.up_filter
+        down_f = s.down_filter
 
         x = filtered_lrelu(
             x, fu=up_f, fd=down_f, b=self.bias.astype(x.dtype),

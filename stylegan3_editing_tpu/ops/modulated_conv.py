@@ -75,15 +75,16 @@ def modulated_conv2d(
     out_dtype = x.dtype
     x = x * scale[:, None, None, :].astype(x.dtype)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    # No preferred_element_type override: the TPU MXU accumulates bf16
+    # matmuls in fp32 internally, and a fp32 output dtype breaks the conv
+    # transpose under autodiff (cotangent/operand dtype mismatch).
     x = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=dn,
-        # bf16 inputs accumulate in fp32 on the MXU; cast back below.
-        preferred_element_type=jnp.float32,
     )
     if demodulate:
-        x = x * dcoefs[:, None, None, :]
+        x = x * dcoefs[:, None, None, :].astype(x.dtype)
     return x.astype(out_dtype)

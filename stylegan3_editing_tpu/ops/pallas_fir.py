@@ -1,0 +1,227 @@
+"""Pallas TPU kernel: 1-D polyphase FIR resample with VMEM tap reuse.
+
+The performance core of alias-free synthesis (SURVEY.md §7 "hard parts").
+XLA's depthwise convs run ~10× off memory-bound on TPU for SG3's 12-tap
+up/down filters, and a shift-and-add formulation amplifies HBM reads taps×
+(TPU has no HBM cache). This kernel loads each input tile into VMEM ONCE
+and applies every tap/phase from VMEM — one HBM read + one write per pass.
+
+Supports: arbitrary (up, down, pad0, pad1) along H or W of an NHWC tensor,
+static numpy taps (the phase/offset structure from ops/fir.py). 2-D radial
+filters run as a few exact SVD-separated rank-1 terms at the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _phase_plan(length: int, ntaps: int, up: int, down: int, pad0: int,
+                pad1: int):
+    """Static polyphase plan (mirrors ops/fir.py derivation)."""
+    out_len = (length * up + pad0 + pad1 - ntaps) // down + 1
+    g = math.gcd(up, down)
+    num_phases = up // g
+    stride = down // g
+    phases = []
+    min_c = 0
+    for r in range(num_phases):
+        j0 = (pad0 - r * down) % up
+        c_r = (r * down + j0 - pad0) // up
+        q_r = (out_len - r + num_phases - 1) // num_phases
+        phases.append((j0, c_r, q_r))
+        min_c = min(min_c, c_r)
+    left = -min_c
+    max_idx = 0
+    for (j0, c_r, q_r) in phases:
+        t_count = (ntaps - j0 + up - 1) // up
+        if q_r > 0 and t_count > 0:
+            max_idx = max(max_idx, (q_r - 1) * stride + c_r + t_count - 1)
+    right = max(0, max_idx + left - (length - 1))
+    return out_len, num_phases, stride, phases, left, right
+
+
+def _fir_kernel(x_ref, o_ref, *, taps, up, phases, stride, axis_in_block,
+                chunk):
+    """Polyphase FIR along `axis_in_block` of the VMEM block.
+
+    Output is produced in `chunk`-sized windows along the filter axis so the
+    fp32 accumulators stay small regardless of the axis extent.
+    """
+    x = x_ref[...]
+    num_phases = len(phases)
+    out_n = o_ref.shape[axis_in_block]
+    chunk = max((chunk // num_phases) * num_phases, num_phases)
+
+    def slice_axis(arr, start, size, step=1):
+        idx = [slice(None)] * arr.ndim
+        idx[axis_in_block] = (slice(start, start + size) if step == 1 else
+                              slice(start, start + (size - 1) * step + 1, step))
+        return arr[tuple(idx)]
+
+    for ostart in range(0, out_n, chunk):
+        osz = min(chunk, out_n - ostart)
+        per_phase = []
+        q_counts = []
+        for r, (j0, c_r, _q_all) in enumerate(phases):
+            # outputs o = P·q + r within [ostart, ostart+osz)
+            q0 = (ostart - r + num_phases - 1) // num_phases
+            qn = (ostart + osz - r + num_phases - 1) // num_phases - q0
+            q_counts.append(max(qn, 0))
+            if qn <= 0:
+                per_phase.append(None)
+                continue
+            taps_r = taps[j0::up]
+            acc = None
+            for t in range(len(taps_r)):
+                start = c_r + q0 * stride + t
+                term = (slice_axis(x, start, qn, stride).astype(jnp.float32)
+                        * np.float32(taps_r[t]))
+                acc = term if acc is None else acc + term
+            if acc is None:  # empty taps
+                shape = list(x.shape)
+                shape[axis_in_block] = qn
+                acc = jnp.zeros(shape, jnp.float32)
+            per_phase.append(acc)
+        if num_phases == 1:
+            result = per_phase[0]
+        else:
+            q_max = max(q_counts)
+            fixed = []
+            for o in per_phase:
+                pad_n = q_max - (0 if o is None else o.shape[axis_in_block])
+                if o is None or pad_n:
+                    shape = list(x.shape)
+                    shape[axis_in_block] = pad_n if o is not None else q_max
+                    filler = jnp.zeros(shape, jnp.float32)
+                    o = filler if o is None else jnp.concatenate(
+                        [o, filler], axis=axis_in_block)
+                fixed.append(o)
+            stacked = jnp.stack(fixed, axis=axis_in_block + 1)
+            shape = list(fixed[0].shape)
+            shape[axis_in_block] *= num_phases
+            result = stacked.reshape(shape)
+        result = slice_axis(result, 0, osz)
+        idx = [slice(None)] * result.ndim
+        idx[axis_in_block] = slice(ostart, ostart + osz)
+        o_ref[tuple(idx)] = result.astype(o_ref.dtype)
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "axis", "up", "down", "pad0", "pad1", "taps_tuple"))
+def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
+    """Run the kernel along `axis` (1=H or 2=W) of NHWC x."""
+    taps = np.asarray(taps_tuple, np.float32)
+    n, h, w, c = x.shape
+    length = x.shape[axis]
+    out_len, num_phases, stride, phases, leftp, rightp = _phase_plan(
+        length, len(taps), up, down, pad0, pad1)
+
+    # Zero-pad the filter axis on the host graph (cheap, fused by XLA).
+    pad_cfg = [(0, 0)] * 4
+    pad_cfg[axis] = (leftp, rightp)
+    xp = jnp.pad(x, pad_cfg) if (leftp or rightp) else x
+    in_len = xp.shape[axis]
+
+    # Mosaic: last two block dims must be divisible by (8, 128) or equal to
+    # the array dims — keep the channel axis whole and the filter axis whole;
+    # tile the remaining spatial axis.
+    if axis == 2:
+        # Block: [1, hb, W_in(full), C(full)] → out [1, hb, W_out, C]
+        per_row = max(in_len * c * 4, 1)
+        hb = max(min(h, int(0.5 * 2 ** 20 / per_row)), 1)
+        grid = (n, pl.cdiv(h, hb))
+        in_spec = pl.BlockSpec((1, hb, in_len, c),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, hb, out_len, c),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (n, h, out_len, c)
+        axis_in_block = 2
+    else:
+        # Block: [1, H_in(full), wb, C(full)] → out [1, H_out, wb, C]
+        per_col = max(in_len * c * 4, 1)
+        wb = max(min(w, int(0.5 * 2 ** 20 / per_col)), 1)
+        wb = max((wb // 8) * 8, min(8, w))
+        if w % wb != 0 and wb > 8:
+            wb = 8  # keep blocks aligned; Pallas pads the ragged tail
+        grid = (n, pl.cdiv(w, wb))
+        in_spec = pl.BlockSpec((1, in_len, wb, c),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, out_len, wb, c),
+                                lambda i, j: (i, 0, j, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (n, out_len, w, c)
+        axis_in_block = 1
+
+    # Offsets are relative to the padded input (host-side pad above).
+    phases_shifted = [(j0, c_r + leftp, q_r) for (j0, c_r, q_r) in phases]
+    kernel = functools.partial(
+        _fir_kernel, taps=taps, up=up, phases=phases_shifted,
+        stride=stride, axis_in_block=axis_in_block,
+        chunk=256 if axis == 1 else out_len)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        grid=grid,
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(xp)
+
+
+def fir_resample_pallas(
+    x: jax.Array,
+    f: np.ndarray,
+    up: Tuple[int, int],
+    down: Tuple[int, int],
+    padding: Tuple[int, int, int, int],
+    flip_filter: bool,
+    gain: float,
+) -> Optional[jax.Array]:
+    """NHWC upfirdn2d via the Pallas kernel. None → caller falls back."""
+    from .fir import _separate_2d
+
+    upx, upy = up
+    downx, downy = down
+    px0, px1, py0, py1 = padding
+    f = np.asarray(f, np.float64)
+
+    def run(x, taps, axis, u, d, p0, p1):
+        return _fir_pallas_axis(
+            x, taps_tuple=tuple(float(t) for t in taps), axis=axis, up=u,
+            down=d, pad0=p0, pad1=p1)
+
+    if f.ndim == 1:
+        fc = f if flip_filter else f[::-1]
+        fc = fc * (gain ** 0.5)
+        x = run(x, fc, 2, upx, downx, px0, px1)
+        x = run(x, fc, 1, upy, downy, py0, py1)
+        return x
+
+    fc = f if flip_filter else f[::-1, ::-1]
+    terms = _separate_2d(fc * gain)
+    if terms is None:
+        return None
+    out = None
+    for col_taps, row_taps in terms:
+        y = run(x, row_taps, 2, upx, downx, px0, px1)
+        y = run(y, col_taps, 1, upy, downy, py0, py1)
+        out = y if out is None else out + y
+    return out

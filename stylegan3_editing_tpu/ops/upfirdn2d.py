@@ -131,6 +131,7 @@ def upfirdn2d(
     padding: Padding = 0,
     flip_filter: bool = False,
     gain: float = 1,
+    impl: str = "auto",
 ) -> jax.Array:
     """Pad, upsample, FIR-filter, and downsample a batch of NHWC images.
 
@@ -143,14 +144,34 @@ def upfirdn2d(
             ``(x0, x1, y0, y1)``. Negative values crop.
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scale.
+        impl: 'auto' (currently = 'conv': XLA depthwise conv — the
+            polyphase shift-and-add alternative is exact but amplifies HBM
+            reads ~taps× since TPU has no HBM cache; measured slower in full
+            graphs), 'shift' (force the shift-and-add path), or 'conv'.
     """
     assert x.ndim == 4, "expected NHWC input"
-    if f is not None:
-        f = jnp.asarray(f, dtype=jnp.float32)
-        assert f.ndim in (1, 2)
+    assert impl in ("auto", "shift", "conv")
     up_t = tuple(parse_scaling(up))
     down_t = tuple(parse_scaling(down))
     pad_t = tuple(parse_padding(padding))
+
+    if impl == "shift" and f is not None:
+        from .fir import fir_resample_2d, fir_resample_traced_1d
+
+        if isinstance(f, np.ndarray):
+            out = fir_resample_2d(x, f, up_t, down_t, pad_t, flip_filter,
+                                  float(gain))
+            if out is not None:
+                return out
+        elif f.ndim == 1:
+            return fir_resample_traced_1d(x, f, up_t, down_t, pad_t,
+                                          flip_filter, float(gain))
+        if impl == "shift":
+            raise ValueError("filter not expressible by the shift fast path")
+
+    if f is not None:
+        f = jnp.asarray(f, dtype=jnp.float32)
+        assert f.ndim in (1, 2)
     return _upfirdn2d_impl(
         x, f, up=up_t, down=down_t, padding=pad_t,
         flip_filter=flip_filter, gain=float(gain),

