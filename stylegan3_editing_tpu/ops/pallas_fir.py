@@ -49,22 +49,23 @@ def _phase_plan(length: int, ntaps: int, up: int, down: int, pad0: int,
     return out_len, num_phases, stride, phases, left, right
 
 
-def _fir_kernel(x_ref, o_ref, *, taps, up, phases, stride, axis_in_block,
-                chunk):
+def _fir_kernel(*refs, taps, up, phases, stride, axis_in_block, chunk):
     """Polyphase FIR along `axis_in_block` of the VMEM block.
 
     Output is produced in `chunk`-sized windows along the filter axis so the
-    fp32 accumulators stay small regardless of the axis extent.
+    fp32 accumulators stay small. For stride > 1 the input arrives pre-split
+    into `stride` sub-phase refs (host-side XLA slices): every kernel read is
+    a CONTIGUOUS slice (Mosaic has no strided gather).
     """
-    x = x_ref[...]
+    x_refs, o_ref = refs[:-1], refs[-1]
+    xs = [r[...] for r in x_refs]
     num_phases = len(phases)
     out_n = o_ref.shape[axis_in_block]
     chunk = max((chunk // num_phases) * num_phases, num_phases)
 
-    def slice_axis(arr, start, size, step=1):
+    def slice_axis(arr, start, size):
         idx = [slice(None)] * arr.ndim
-        idx[axis_in_block] = (slice(start, start + size) if step == 1 else
-                              slice(start, start + (size - 1) * step + 1, step))
+        idx[axis_in_block] = slice(start, start + size)
         return arr[tuple(idx)]
 
     for ostart in range(0, out_n, chunk):
@@ -83,11 +84,13 @@ def _fir_kernel(x_ref, o_ref, *, taps, up, phases, stride, axis_in_block,
             acc = None
             for t in range(len(taps_r)):
                 start = c_r + q0 * stride + t
-                term = (slice_axis(x, start, qn, stride).astype(jnp.float32)
+                sub = start % stride
+                off = start // stride
+                term = (slice_axis(xs[sub], off, qn).astype(jnp.float32)
                         * np.float32(taps_r[t]))
                 acc = term if acc is None else acc + term
             if acc is None:  # empty taps
-                shape = list(x.shape)
+                shape = list(xs[0].shape)
                 shape[axis_in_block] = qn
                 acc = jnp.zeros(shape, jnp.float32)
             per_phase.append(acc)
@@ -99,7 +102,7 @@ def _fir_kernel(x_ref, o_ref, *, taps, up, phases, stride, axis_in_block,
             for o in per_phase:
                 pad_n = q_max - (0 if o is None else o.shape[axis_in_block])
                 if o is None or pad_n:
-                    shape = list(x.shape)
+                    shape = list(xs[0].shape)
                     shape[axis_in_block] = pad_n if o is not None else q_max
                     filler = jnp.zeros(shape, jnp.float32)
                     o = filler if o is None else jnp.concatenate(
@@ -135,33 +138,56 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
     xp = jnp.pad(x, pad_cfg) if (leftp or rightp) else x
     in_len = xp.shape[axis]
 
+    # stride > 1: pre-split into `stride` sub-phase arrays (host XLA slices)
+    # so every in-kernel read is contiguous.
+    if stride > 1:
+        extra = (-in_len) % stride
+        if extra:
+            pad_cfg = [(0, 0)] * 4
+            pad_cfg[axis] = (0, extra)
+            xp = jnp.pad(xp, pad_cfg)
+            in_len += extra
+        idx_base = [slice(None)] * 4
+        subs = []
+        for p in range(stride):
+            idx = list(idx_base)
+            idx[axis] = slice(p, None, stride)
+            subs.append(xp[tuple(idx)])
+        inputs = subs
+        sub_len = in_len // stride
+    else:
+        inputs = [xp]
+        sub_len = in_len
+
     # Mosaic: last two block dims must be divisible by (8, 128) or equal to
     # the array dims — keep the channel axis whole and the filter axis whole;
     # tile the remaining spatial axis.
     if axis == 2:
-        # Block: [1, hb, W_in(full), C(full)] → out [1, hb, W_out, C]
-        per_row = max(in_len * c * 4, 1)
+        # Block: [1, hb, W_sub(full), C(full)] → out [1, hb, W_out, C]
+        per_row = max(sub_len * len(inputs) * c * 4, 1)
         hb = max(min(h, int(0.5 * 2 ** 20 / per_row)), 1)
         grid = (n, pl.cdiv(h, hb))
-        in_spec = pl.BlockSpec((1, hb, in_len, c),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec((1, hb, sub_len, c),
+                                 lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in inputs]
         out_spec = pl.BlockSpec((1, hb, out_len, c),
                                 lambda i, j: (i, j, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = (n, h, out_len, c)
         axis_in_block = 2
     else:
-        # Block: [1, H_in(full), wb, C(full)] → out [1, H_out, wb, C]
-        per_col = max(in_len * c * 4, 1)
+        # Block: [1, H_sub(full), wb, C(full)] → out [1, H_out, wb, C]
+        per_col = max(sub_len * len(inputs) * c * 4, 1)
         wb = max(min(w, int(0.5 * 2 ** 20 / per_col)), 1)
         wb = max((wb // 8) * 8, min(8, w))
         if w % wb != 0 and wb > 8:
             wb = 8  # keep blocks aligned; Pallas pads the ragged tail
         grid = (n, pl.cdiv(w, wb))
-        in_spec = pl.BlockSpec((1, in_len, wb, c),
-                               lambda i, j: (i, 0, j, 0),
-                               memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec((1, sub_len, wb, c),
+                                 lambda i, j: (i, 0, j, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in inputs]
         out_spec = pl.BlockSpec((1, out_len, wb, c),
                                 lambda i, j: (i, 0, j, 0),
                                 memory_space=pltpu.VMEM)
@@ -180,10 +206,61 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
         kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         grid=grid,
-        in_specs=[in_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
-    )(xp)
+    )(*inputs)
+
+
+_VJP_CACHE: dict = {}
+
+
+def pallas_upfirdn2d(x, f: np.ndarray, up, down, padding, flip_filter, gain):
+    """Differentiable Pallas upfirdn2d (None if not expressible).
+
+    The VJP is analytic: the adjoint of upfirdn2d is upfirdn2d with swapped
+    up/down, mirrored padding, and flipped filter (reference
+    torch_utils/ops/upfirdn2d.py:252-270).
+    """
+    from .fir import _separate_2d
+    f_arr = np.asarray(f, np.float64)
+    if f_arr.ndim == 2:
+        fc = f_arr if flip_filter else f_arr[::-1, ::-1]
+        if _separate_2d(fc * gain) is None:
+            return None
+
+    key = (f_arr.tobytes(), f_arr.shape, up, down, padding, flip_filter,
+           float(gain))
+    if key not in _VJP_CACHE:
+        upx, upy = up
+        downx, downy = down
+        px0, px1, py0, py1 = padding
+        fw = f_arr.shape[-1]
+        fh = f_arr.shape[0] if f_arr.ndim == 2 else f_arr.shape[-1]
+
+        @jax.custom_vjp
+        def op(x):
+            return fir_resample_pallas(x, f_arr, up, down, padding,
+                                       flip_filter, gain)
+
+        def fwd(x):
+            return op(x), (x.shape,)
+
+        def bwd(res, dy):
+            (x_shape,) = res
+            ih, iw = x_shape[1], x_shape[2]
+            oh, ow = dy.shape[1], dy.shape[2]
+            p = (fw - px0 - 1,
+                 iw * upx - ow * downx + px0 - upx + 1,
+                 fh - py0 - 1,
+                 ih * upy - oh * downy + py0 - upy + 1)
+            dx = fir_resample_pallas(dy, f_arr, (downx, downy), (upx, upy),
+                                     p, not flip_filter, gain)
+            return (dx,)
+
+        op.defvjp(fwd, bwd)
+        _VJP_CACHE[key] = op
+    return _VJP_CACHE[key](x)
 
 
 def fir_resample_pallas(

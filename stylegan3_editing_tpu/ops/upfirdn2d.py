@@ -166,8 +166,23 @@ def upfirdn2d(
         elif f.ndim == 1:
             return fir_resample_traced_1d(x, f, up_t, down_t, pad_t,
                                           flip_filter, float(gain))
-        if impl == "shift":
-            raise ValueError("filter not expressible by the shift fast path")
+        raise ValueError("filter not expressible by the shift fast path")
+
+    # TPU fast path: the Pallas VMEM-resident FIR kernel (static numpy
+    # filters; differentiable via its analytic adjoint). Measured 3.6× over
+    # the XLA conv on SG3's hot up-pass, but full graphs with ~30 kernel
+    # instances crash THIS environment's remote compile helper — so 'auto'
+    # stays on the conv path for now and 'pallas' is explicit opt-in.
+    if (isinstance(f, np.ndarray) and jax.default_backend() == "tpu"
+            and impl == "pallas"):
+        from .pallas_fir import pallas_upfirdn2d
+
+        out = pallas_upfirdn2d(x, f, up_t, down_t, pad_t, flip_filter,
+                               float(gain))
+        if out is not None:
+            return out
+        if impl == "pallas":
+            raise ValueError("filter not expressible by the pallas path")
 
     if f is not None:
         f = jnp.asarray(f, dtype=jnp.float32)

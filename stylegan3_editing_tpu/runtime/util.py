@@ -73,6 +73,50 @@ def format_time(seconds: float) -> str:
     return f"{s // (24 * 60 * 60)}d {(s // (60 * 60)) % 24:02d}h {(s // 60) % 60:02d}m"
 
 
+def open_url(url: str, cache_dir: Optional[str] = None, num_attempts: int = 10,
+             verbose: bool = True):
+    """Download (with retries) and cache a URL; returns an open file object.
+
+    Parity: dnnlib/util.py:396 `open_url` — the asset fetcher behind every
+    pretrained-weight download in the reference.
+    """
+    import hashlib
+    import io
+    import os
+    import time
+    import urllib.request
+
+    assert num_attempts >= 1
+    cache_dir = cache_dir or os.path.join(
+        os.environ.get("SG3TPU_CACHE", os.path.expanduser("~/.cache/sg3tpu")),
+        "downloads")
+    os.makedirs(cache_dir, exist_ok=True)
+    url_md5 = hashlib.md5(url.encode("utf-8")).hexdigest()
+    cached = [f for f in os.listdir(cache_dir) if f.startswith(url_md5)]
+    if cached:
+        return open(os.path.join(cache_dir, cached[0]), "rb")
+
+    data = None
+    for attempt in range(num_attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=60) as resp:
+                data = resp.read()
+            break
+        except Exception as e:
+            if attempt == num_attempts - 1:
+                raise
+            if verbose:
+                print(f"download failed ({e}); retrying...")
+            time.sleep(min(2 ** attempt, 30))
+    name = url.split("/")[-1] or "download"
+    path = os.path.join(cache_dir, f"{url_md5}_{name}")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return open(path, "rb")
+
+
 def get_obj_by_name(name: str) -> Any:
     """'pkg.module.Class' → the object."""
     module_name, _, obj_name = name.rpartition(".")
