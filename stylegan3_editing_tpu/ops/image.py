@@ -74,6 +74,38 @@ def resize_bilinear(x: jax.Array, size, antialias: bool = False) -> jax.Array:
                             antialias=antialias)
 
 
+def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear grid sampling over NHWC images (align_corners=False).
+
+    grid: [N, Hg, Wg, 2] normalized coords in [-1, 1] (x, y order). Zero
+    padding outside. Arbitrary-order differentiable (pure jnp) — the role of
+    the reference's grid_sample_gradfix for the ADA augment pipe.
+    """
+    n, h, w, c = x.shape
+    gx = (grid[..., 0] + 1) * (w / 2) - 0.5
+    gy = (grid[..., 1] + 1) * (h / 2) - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = gx - x0
+    wy = gy - y0
+
+    def gather(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda img, yy, xx: img[yy, xx])(x, yi_c, xi_c)
+        return vals * valid[..., None].astype(x.dtype)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None].astype(x.dtype)
+    wy = wy[..., None].astype(x.dtype)
+    return ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+            + (v10 * (1 - wx) + v11 * wx) * wy)
+
+
 def avg_pool2d(x: jax.Array, window: int, stride=None) -> jax.Array:
     """Plain average pooling (VALID) over NHWC."""
     stride = stride or window
