@@ -128,3 +128,44 @@ def construct_class_by_name(*args, class_name: Optional[str] = None, **kwargs):
     """Instantiate a class given its fully-qualified name + kwargs."""
     assert class_name is not None
     return get_obj_by_name(class_name)(*args, **kwargs)
+
+
+class TimingUtil:
+    """Per-phase wall-clock accumulator (parity: setgan/utils.py:4-76)."""
+
+    def __init__(self):
+        self._totals: dict = {}
+        self._counts: dict = {}
+        self._starts: dict = {}
+
+    def start(self, name: str) -> None:
+        import time
+        self._starts[name] = time.perf_counter()
+
+    def stop(self, name: str) -> float:
+        import time
+        dt = time.perf_counter() - self._starts.pop(name)
+        self._totals[name] = self._totals.get(name, 0.0) + dt
+        self._counts[name] = self._counts.get(name, 0) + 1
+        return dt
+
+    def __call__(self, name: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            self.start(name)
+            try:
+                yield
+            finally:
+                self.stop(name)
+
+        return scope()
+
+    def mean(self, name: str) -> float:
+        return self._totals.get(name, 0.0) / max(self._counts.get(name, 0), 1)
+
+    def summary(self) -> dict:
+        return {k: {"total_s": round(v, 4), "count": self._counts[k],
+                    "mean_s": round(self.mean(k), 4)}
+                for k, v in self._totals.items()}

@@ -100,7 +100,7 @@ class ConditionalFID:
             s_r.append(real_means)
             s_f.append(fake_means)
             return frechet_distance(*s_r.get_mean_cov(), *s_f.get_mean_cov())
-        if mode == "agg":
+        if mode == "agg":  # pooled moments across classes
             s_r, s_f = FeatureStats(), FeatureStats()
             for c in classes:
                 # pool raw moments across classes
@@ -117,3 +117,39 @@ class ConditionalFID:
                 s_f._outer += self.fake[c]._outer
             return frechet_distance(*s_r.get_mean_cov(), *s_f.get_mean_cov())
         raise ValueError(f"unknown FID mode {mode}")
+
+
+class ConditionalMetrics:
+    """Registry of per-split conditional metrics.
+
+    Parity: setgan/metric_utils.py `ConditionalMetrics`
+    (add_split/add_metric/calc_metric/report_metric :420+): named data splits
+    (class → reference/eval sets) and named metrics evaluated per split.
+    """
+
+    def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray]):
+        self.feature_fn = feature_fn
+        self.splits: Dict[str, dict] = {}
+        self.metrics: Dict[str, str] = {}
+
+    def add_split(self, name: str, class_to_real: Dict[int, np.ndarray]):
+        """class id → real image batch (NHWC, [-1, 1])."""
+        self.splits[name] = class_to_real
+
+    def add_metric(self, name: str, mode: str = "agg"):
+        assert mode in ("agg", "sfid", "rfid")
+        self.metrics[name] = mode
+
+    def calc_metric(self, metric: str, split: str, generate_fn,
+                    per_class: Optional[int] = None) -> float:
+        """generate_fn(cls, count) → fake NHWC batch for that class."""
+        mode = self.metrics[metric]
+        fid = ConditionalFID(self.feature_fn, max_items_per_class=per_class)
+        for cls, real in self.splits[split].items():
+            fid.append_real(cls, real)
+            fid.append_fake(cls, generate_fn(cls, len(real)))
+        return fid.compute(mode)
+
+    def report_metrics(self, split: str, generate_fn) -> Dict[str, float]:
+        return {m: self.calc_metric(m, split, generate_fn)
+                for m in self.metrics}

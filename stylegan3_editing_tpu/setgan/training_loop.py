@@ -96,7 +96,14 @@ class SetGANTrainer:
                                                    self.g_vars["params"])
         self.pl_mean = jnp.zeros(())
 
-        self.g_tx = optax.adam(cfg.g_lr, b1=0.0, b2=cfg.beta2)
+        # Warmup LR (training_loop.py:311-313): linear ramp over warmup_kimg.
+        def g_schedule(step):
+            if cfg.warmup_kimg <= 0:
+                return cfg.g_lr
+            warm_steps = cfg.warmup_kimg * 1000 / max(cfg.batch_size, 1)
+            return cfg.g_lr * jnp.minimum((step + 1) / warm_steps, 1.0)
+
+        self.g_tx = optax.adam(g_schedule, b1=0.0, b2=cfg.beta2)
         self.g_opt = self.g_tx.init(self.g_vars["params"])
         # Frozen projector: route its leaves to set_to_zero. (NOT
         # optax.masked — masked leaves would pass RAW GRADIENTS through as

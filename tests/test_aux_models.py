@@ -102,3 +102,16 @@ def test_train_utils():
     grid = vis_faces([{"input_face": im, "target_face": im,
                        "output_face": [(im, "x")], "sim": 0.5}], cell=32)
     assert grid.size == (3 * 32, 32)
+
+
+def test_conditional_metrics_registry():
+    from stylegan3_editing_tpu.setgan.metrics import ConditionalMetrics
+
+    cm = ConditionalMetrics(lambda imgs: imgs.reshape(imgs.shape[0], -1)[:, :6])
+    cm.add_split("val", {0: RNG.randn(64, 2, 2, 2),
+                         1: RNG.randn(64, 2, 2, 2)})
+    cm.add_metric("fid_agg", "agg")
+    cm.add_metric("fid_s", "sfid")
+    out = cm.report_metrics("val", lambda cls, n: RNG.randn(n, 2, 2, 2) + 0.3)
+    assert set(out) == {"fid_agg", "fid_s"}
+    assert all(np.isfinite(v) and v > 0 for v in out.values())
