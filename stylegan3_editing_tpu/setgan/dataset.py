@@ -32,8 +32,12 @@ class ClassImageDataset:
 
     @classmethod
     def from_folder(cls, root, resolution: int = 256) -> "ClassImageDataset":
-        """Each immediate subdirectory is a class; flat folders = 1 class."""
+        """Each immediate subdirectory is a class; flat folders = 1 class.
+        `.zip` archives load via `from_zip` (the reference's dataset2.py
+        zip-backed variant)."""
         root = Path(root)
+        if root.suffix.lower() == ".zip":
+            return cls.from_zip(root, resolution)
         subdirs = [d for d in sorted(root.iterdir()) if d.is_dir()]
         mapping: Dict[int, List[Path]] = {}
         if subdirs:
@@ -45,8 +49,35 @@ class ClassImageDataset:
                           if p.suffix.lower() in IMG_EXTENSIONS]
         return cls(mapping, resolution)
 
-    def load(self, path: Path) -> np.ndarray:
-        im = Image.open(path).convert("RGB").resize(
+    @classmethod
+    def from_zip(cls, path, resolution: int = 256) -> "ClassImageDataset":
+        """Zip-backed dataset: top-level archive directories are classes."""
+        import zipfile
+
+        zf = zipfile.ZipFile(path)
+        mapping: Dict[int, List[str]] = {}
+        class_names: Dict[str, int] = {}
+        for name in sorted(zf.namelist()):
+            if not any(name.lower().endswith(e) for e in IMG_EXTENSIONS):
+                continue
+            cls_name = name.split("/")[0] if "/" in name else ""
+            if cls_name not in class_names:
+                class_names[cls_name] = len(class_names)
+            mapping.setdefault(class_names[cls_name], []).append(name)
+        ds = cls(mapping, resolution)
+        ds._zip = zf
+        return ds
+
+    _zip = None  # set by from_zip
+
+    def load(self, path) -> np.ndarray:
+        if self._zip is not None:
+            import io
+            with self._zip.open(str(path)) as f:
+                im = Image.open(io.BytesIO(f.read()))
+        else:
+            im = Image.open(path)
+        im = im.convert("RGB").resize(
             (self.resolution, self.resolution), Image.BILINEAR)
         return np.asarray(im, np.float32) / 127.5 - 1.0
 

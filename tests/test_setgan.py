@@ -261,3 +261,14 @@ def test_setgan_train_step(class_folder, tmp_path):
     t2 = SetGANTrainer(cfg, tiny_cfg(), run_dir=str(tmp_path))
     t2.restore(tmp_path / "snap")
     assert t2.cur_nimg == trainer.cur_nimg
+
+
+def test_zip_backed_dataset(class_folder, tmp_path):
+    import shutil
+    zip_path = shutil.make_archive(str(tmp_path / "classes"), "zip",
+                                   root_dir=class_folder)
+    ds = ClassImageDataset.from_folder(zip_path, resolution=32)
+    assert len(ds.classes) == 3 and ds.num_images() == 18
+    img = ds.load(ds.class_to_paths[0][0])
+    assert img.shape == (32, 32, 3)
+    assert -1.0 <= img.min() and img.max() <= 1.0
