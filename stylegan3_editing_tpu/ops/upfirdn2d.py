@@ -150,7 +150,10 @@ def upfirdn2d(
             graphs), 'shift' (force the shift-and-add path), or 'conv'.
     """
     assert x.ndim == 4, "expected NHWC input"
-    assert impl in ("auto", "shift", "conv")
+    if impl == "auto":
+        import os
+        impl = os.environ.get("SG3TPU_FIR_IMPL", "auto")
+    assert impl in ("auto", "shift", "conv", "pallas")
     up_t = tuple(parse_scaling(up))
     down_t = tuple(parse_scaling(down))
     pad_t = tuple(parse_padding(padding))
