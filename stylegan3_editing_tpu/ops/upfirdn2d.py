@@ -144,10 +144,10 @@ def upfirdn2d(
             ``(x0, x1, y0, y1)``. Negative values crop.
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scale.
-        impl: 'auto' (currently = 'conv': XLA depthwise conv — the
-            polyphase shift-and-add alternative is exact but amplifies HBM
-            reads ~taps× since TPU has no HBM cache; measured slower in full
-            graphs), 'shift' (force the shift-and-add path), or 'conv'.
+        impl: 'auto' (XLA depthwise conv, except large separable passes on
+            TPU which take the Pallas kernel), 'shift' (polyphase
+            shift-and-add: exact but ~taps× HBM read amplification),
+            'conv', or 'pallas' (force the VMEM kernel).
     """
     assert x.ndim == 4, "expected NHWC input"
     if impl == "auto":
@@ -175,7 +175,12 @@ def upfirdn2d(
     # filters; differentiable via its analytic adjoint). Measured 3.6× over
     # the XLA conv on SG3's hot up-pass, but full graphs with ~30 kernel
     # instances crash THIS environment's remote compile helper — so 'auto'
-    # stays on the conv path for now and 'pallas' is explicit opt-in.
+    # takes it only for the few large separable passes ('pallas_hot'
+    # semantics); 'pallas' forces it, SG3TPU_FIR_IMPL=conv disables.
+    if impl == "auto" and isinstance(f, np.ndarray) and f.ndim == 1 \
+            and jax.default_backend() == "tpu" \
+            and min(x.shape[1], x.shape[2]) >= 1024:
+        impl = "pallas"
     if (isinstance(f, np.ndarray) and jax.default_backend() == "tpu"
             and impl == "pallas"):
         from .pallas_fir import pallas_upfirdn2d
