@@ -12,7 +12,13 @@ scalar reduction forces completion — wall time is honest end-to-end compute.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Inference-only graph: take the Pallas FIR kernel on the hot passes
+# (training graphs keep the conv path — the remote compile helper cannot
+# hold fwd+adjoint kernel counts).
+os.environ.setdefault("SG3TPU_FIR_IMPL", "pallas_hot")
 
 import jax
 import jax.numpy as jnp

@@ -153,7 +153,7 @@ def upfirdn2d(
     if impl == "auto":
         import os
         impl = os.environ.get("SG3TPU_FIR_IMPL", "auto")
-    assert impl in ("auto", "shift", "conv", "pallas")
+    assert impl in ("auto", "shift", "conv", "pallas", "pallas_hot")
     up_t = tuple(parse_scaling(up))
     down_t = tuple(parse_scaling(down))
     pad_t = tuple(parse_padding(padding))
@@ -173,14 +173,15 @@ def upfirdn2d(
 
     # TPU fast path: the Pallas VMEM-resident FIR kernel (static numpy
     # filters; differentiable via its analytic adjoint). Measured 3.6× over
-    # the XLA conv on SG3's hot up-pass, but full graphs with ~30 kernel
-    # instances crash THIS environment's remote compile helper — so 'auto'
-    # takes it only for the few large separable passes ('pallas_hot'
-    # semantics); 'pallas' forces it, SG3TPU_FIR_IMPL=conv disables.
-    if impl == "auto" and isinstance(f, np.ndarray) and f.ndim == 1 \
-            and jax.default_backend() == "tpu" \
-            and min(x.shape[1], x.shape[2]) >= 1024:
-        impl = "pallas"
+    # the XLA conv on SG3's hot up-pass (+11% on full 1024² synthesis), but
+    # THIS environment's remote compile helper crashes on graphs with more
+    # than ~8 Pallas kernels — so it is OPT-IN: SG3TPU_FIR_IMPL=pallas_hot
+    # takes it for large separable passes only (inference graphs; bench.py
+    # sets it), 'pallas' forces it everywhere expressible.
+    if impl == "pallas_hot":
+        impl = ("pallas" if isinstance(f, np.ndarray) and f.ndim == 1
+                and jax.default_backend() == "tpu"
+                and min(x.shape[1], x.shape[2]) >= 1024 else "auto")
     if (isinstance(f, np.ndarray) and jax.default_backend() == "tpu"
             and impl == "pallas"):
         from .pallas_fir import pallas_upfirdn2d
