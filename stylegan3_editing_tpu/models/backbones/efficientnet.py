@@ -1,0 +1,147 @@
+"""EfficientNet-lite0 feature extractor (flax NHWC) for the projected D.
+
+Parity: timm `tf_efficientnet_lite0` as sliced by the reference's
+`_make_efficientnet` (/root/reference/models/styleganxl/feature_networks/
+pretrained_builder.py:118-126): layer0 = stem + blocks[0:2] (24ch @ /4),
+layer1 = blocks[2] (40 @ /8), layer2 = blocks[3:5] (112 @ /16),
+layer3 = blocks[5:] (320 @ /32). Lite variants: ReLU6, no squeeze-excite,
+fixed stem width 32. `tf_` = TensorFlow asymmetric SAME padding, which is
+exactly jax's "SAME".
+
+`convert_efficientnet_lite0` maps a timm state dict
+(`conv_stem.weight`, `blocks.3.1.conv_pwl.weight`, …) onto the module.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Mapping
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import BatchNorm, bn_from_torch, conv_w, put
+
+# Per-stage (num_blocks, kernel, stride, expand_ratio, out_channels); lite0.
+_STAGES = (
+    (1, 3, 1, 1, 16),
+    (2, 3, 2, 6, 24),
+    (2, 5, 2, 6, 40),
+    (3, 3, 2, 6, 80),
+    (3, 5, 1, 6, 112),
+    (4, 5, 2, 6, 192),
+    (1, 3, 1, 6, 320),
+)
+# Stage index ranges per feature level (reference pretrained_builder.py:120-126).
+_LEVELS = ((0, 2), (2, 3), (3, 5), (5, 7))
+
+_relu6 = lambda v: jnp.minimum(jax.nn.relu(v), 6.0)
+
+
+def _bn_eps():
+    # TF EfficientNet BatchNorm epsilon.
+    return BatchNorm(epsilon=1e-3)
+
+
+class DepthwiseSeparable(nn.Module):
+    """Stage-0 block: dw conv + pw linear projection (timm DS block)."""
+
+    out: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.Conv(c, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=c, use_bias=False,
+                    name="conv_dw")(x)
+        y = BatchNorm(epsilon=1e-3, name="bn1")(y)
+        y = _relu6(y)
+        y = nn.Conv(self.out, (1, 1), use_bias=False, name="conv_pw")(y)
+        y = BatchNorm(epsilon=1e-3, name="bn2")(y)
+        if self.stride == 1 and c == self.out:
+            y = y + x
+        return y
+
+
+class InvertedResidual(nn.Module):
+    """MBConv without SE (lite): pw expand → dw → pw linear (+residual)."""
+
+    out: int
+    kernel: int
+    stride: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mid = c * self.expand
+        y = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(x)
+        y = BatchNorm(epsilon=1e-3, name="bn1")(y)
+        y = _relu6(y)
+        y = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
+                    padding="SAME", feature_group_count=mid, use_bias=False,
+                    name="conv_dw")(y)
+        y = BatchNorm(epsilon=1e-3, name="bn2")(y)
+        y = _relu6(y)
+        y = nn.Conv(self.out, (1, 1), use_bias=False, name="conv_pwl")(y)
+        y = BatchNorm(epsilon=1e-3, name="bn3")(y)
+        if self.stride == 1 and c == self.out:
+            y = y + x
+        return y
+
+
+class EfficientNetLite0Features(nn.Module):
+    """[-1,1]-normalized-elsewhere NHWC input → 4 feature maps
+    (/4 24ch, /8 40ch, /16 112ch, /32 320ch)."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jax.Array]:
+        x = nn.Conv(32, (3, 3), strides=2, padding="SAME", use_bias=False,
+                    name="conv_stem")(x)
+        x = BatchNorm(epsilon=1e-3, name="bn1")(x)
+        x = _relu6(x)
+        outs = []
+        for level, (s0, s1) in enumerate(_LEVELS):
+            for si in range(s0, s1):
+                blocks, k, stride, exp, out = _STAGES[si]
+                for bi in range(blocks):
+                    cls = DepthwiseSeparable if exp == 1 else InvertedResidual
+                    kwargs = dict(out=out, kernel=k,
+                                  stride=stride if bi == 0 else 1)
+                    if exp != 1:
+                        kwargs["expand"] = exp
+                    x = cls(name=f"blocks_{si}_{bi}", **kwargs)(x)
+            outs.append(x)
+        return outs
+
+
+def convert_efficientnet_lite0(state: Mapping[str, np.ndarray]) -> dict:
+    """timm `tf_efficientnet_lite0` state dict → module variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    put(params, "conv_stem/kernel", conv_w(state["conv_stem.weight"]))
+    bn_from_torch(params, stats, "bn1", state, "bn1")
+    for si, (blocks, k, stride, exp, out) in enumerate(_STAGES):
+        for bi in range(blocks):
+            src = f"blocks.{si}.{bi}"
+            dst = f"blocks_{si}_{bi}"
+
+            def dw(t):  # torch depthwise [C,1,kh,kw] → HWIO [kh,kw,1,C]
+                return jnp.asarray(np.asarray(t).transpose(2, 3, 1, 0))
+
+            if exp == 1:
+                put(params, f"{dst}/conv_dw/kernel", dw(state[f"{src}.conv_dw.weight"]))
+                bn_from_torch(params, stats, f"{dst}/bn1", state, f"{src}.bn1")
+                put(params, f"{dst}/conv_pw/kernel", conv_w(state[f"{src}.conv_pw.weight"]))
+                bn_from_torch(params, stats, f"{dst}/bn2", state, f"{src}.bn2")
+            else:
+                put(params, f"{dst}/conv_pw/kernel", conv_w(state[f"{src}.conv_pw.weight"]))
+                bn_from_torch(params, stats, f"{dst}/bn1", state, f"{src}.bn1")
+                put(params, f"{dst}/conv_dw/kernel", dw(state[f"{src}.conv_dw.weight"]))
+                bn_from_torch(params, stats, f"{dst}/bn2", state, f"{src}.bn2")
+                put(params, f"{dst}/conv_pwl/kernel", conv_w(state[f"{src}.conv_pwl.weight"]))
+                bn_from_torch(params, stats, f"{dst}/bn3", state, f"{src}.bn3")
+    return {"params": params, "batch_stats": stats}

@@ -156,9 +156,14 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
 
     # Mosaic: last two block dims must be divisible by (8, 128) or equal to
     # the array dims — keep channel + filter axes whole, tile the other axis.
+    # VMEM budget accounts for ALL blocks (sub-phase inputs + output) at the
+    # element size of x, ×2 for Mosaic's double buffering, within ~10 MB of
+    # the 16 MB scoped limit (headroom for accumulators/spills).
+    esize = jnp.dtype(x.dtype).itemsize
+    budget = 10 * 2 ** 20
     if axis == 2:
-        per_row = max(sub_len * len(inputs) * c * 4, 1)
-        hb = max(min(h, int(0.5 * 2 ** 20 / per_row)), 1)
+        per_row = max((sub_len * len(inputs) + out_alloc) * c * esize * 2, 1)
+        hb = max(min(h, budget // per_row), 1)
         grid = (n, pl.cdiv(h, hb))
         in_specs = [pl.BlockSpec((1, hb, sub_len, c),
                                  lambda i, j: (i, j, 0, 0),
@@ -170,8 +175,8 @@ def _fir_pallas_axis(x, *, taps_tuple, axis, up, down, pad0, pad1):
         out_shape = (n, h, out_alloc, c)
         axis_in_block = 2
     else:
-        per_col = max(sub_len * len(inputs) * c * 4, 1)
-        wb = max(min(w, int(0.5 * 2 ** 20 / per_col)), 1)
+        per_col = max((sub_len * len(inputs) + out_alloc) * c * esize * 2, 1)
+        wb = max(min(w, budget // per_col), 1)
         wb = max((wb // 8) * 8, min(8, w))
         if w % wb != 0 and wb > 8:
             wb = 8  # keep blocks aligned; Pallas pads the ragged tail

@@ -144,16 +144,16 @@ def upfirdn2d(
             ``(x0, x1, y0, y1)``. Negative values crop.
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scale.
-        impl: 'auto' (XLA depthwise conv, except large separable passes on
-            TPU which take the Pallas kernel), 'shift' (polyphase
-            shift-and-add: exact but ~taps× HBM read amplification),
-            'conv', or 'pallas' (force the VMEM kernel).
+        impl: 'auto' (block-banded MXU matmuls on TPU for static numpy
+            filters, XLA depthwise conv otherwise), 'mxu' (force the banded
+            matmul), 'shift' (polyphase shift-and-add: exact but ~taps× HBM
+            read amplification), 'conv', or 'pallas' (force the VMEM kernel).
     """
     assert x.ndim == 4, "expected NHWC input"
     if impl == "auto":
         import os
         impl = os.environ.get("SG3TPU_FIR_IMPL", "auto")
-    assert impl in ("auto", "shift", "conv", "pallas", "pallas_hot")
+    assert impl in ("auto", "mxu", "shift", "conv", "pallas", "pallas_hot")
     up_t = tuple(parse_scaling(up))
     down_t = tuple(parse_scaling(down))
     pad_t = tuple(parse_padding(padding))
@@ -171,7 +171,24 @@ def upfirdn2d(
                                           flip_filter, float(gain))
         raise ValueError("filter not expressible by the shift fast path")
 
-    # TPU fast path: the Pallas VMEM-resident FIR kernel (static numpy
+    # TPU default fast path: FIR as block-banded MXU matmuls (ops/fir_mxu.py).
+    # Differentiable (einsum transpose = another banded matmul), no custom
+    # kernels, and it moves the 12-tap filter arithmetic off the VPU onto the
+    # matrix unit where TPU FLOPs live. Static numpy filters only (the banded
+    # matrix is a trace-time constant).
+    if isinstance(f, np.ndarray) and (
+            impl == "mxu"
+            or (impl == "auto" and jax.default_backend() == "tpu")):
+        from .fir_mxu import fir_resample_mxu
+
+        out = fir_resample_mxu(x, f, up_t, down_t, pad_t, flip_filter,
+                               float(gain))
+        if out is not None:
+            return out
+        if impl == "mxu":
+            raise ValueError("filter not expressible by the mxu path")
+
+    # Pallas VMEM-resident FIR kernel (static numpy
     # filters; differentiable via its analytic adjoint). Measured 3.6× over
     # the XLA conv on SG3's hot up-pass (+11% on full 1024² synthesis), but
     # THIS environment's remote compile helper crashes on graphs with more

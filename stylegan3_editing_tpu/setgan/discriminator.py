@@ -7,11 +7,12 @@ Parity: reference models/setgan/discriminator.py (`SingleDisc` :19,
 (models/styleganxl/pg_modules/projector.py:55-111: random cross-channel CCM
 1×1s and cross-scale CSM fusion over a frozen backbone's 4 feature stages).
 
-The reference's timm backbones (DeiT-base-distilled, EfficientNet-lite0)
-are not available here; the projector wraps this repo's VGG16 feature stack
-(4 stages) — the projected-GAN recipe is backbone-agnostic (random frozen
-projections over any pretrained features). Converters can swap in other
-backbones later.
+Backbones: the reference pair — DeiT-base-distilled-patch16-224 and
+tf_efficientnet_lite0 (train_setgan.py:227-234) — are in-repo flax ports
+(models/backbones/{deit,efficientnet}.py) with timm weight converters;
+VGG16 is kept as a lightweight fallback. Normalization stats are
+per-backbone (reference projector.py:9-28: DeiT → ImageNet stats,
+EfficientNet-lite → Inception 0.5/0.5).
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.backbones.deit import DeiTFeatures
+from ..models.backbones.efficientnet import EfficientNetLite0Features
 from ..models.backbones.vgg import VGG16Features
 from ..ops.image import resize_bilinear
 from .diffaugment import diff_augment
@@ -35,6 +38,18 @@ _NFC_MIDAS = {4: 512, 8: 512, 16: 256, 32: 128, 64: 64, 128: 64,
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+_INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+_INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
+
+# backbone name → (feature module factory, mean, std); normalization per
+# reference feature_networks/constants.py:67-104 + projector.py:9-28.
+BACKBONES = {
+    "vgg16_proj": (VGG16Features, _IMAGENET_MEAN, _IMAGENET_STD),
+    "deit_base_distilled_patch16_224":
+        (DeiTFeatures, _IMAGENET_MEAN, _IMAGENET_STD),
+    "tf_efficientnet_lite0":
+        (EfficientNetLite0Features, _INCEPTION_MEAN, _INCEPTION_STD),
+}
 
 
 class FeatureProjector(nn.Module):
@@ -47,10 +62,14 @@ class FeatureProjector(nn.Module):
     cout: int = 64
     proj_type: int = 2  # 0 none, 1 CCM, 2 CCM+CSM
     expand: bool = True
+    backbone: str = "vgg16_proj"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
-        feats = VGG16Features(name="backbone")(x)[1:]  # 4 stages: /2../16
+        module = BACKBONES[self.backbone][0]
+        feats = module(name="backbone")(x)
+        if self.backbone == "vgg16_proj":
+            feats = feats[1:]  # 4 stages: /2../16
         if self.proj_type == 0:
             return {str(i): f for i, f in enumerate(feats)}
 
@@ -186,9 +205,16 @@ class ProjectedSetDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, r: jax.Array, x: jax.Array,
                  rng: Optional[jax.Array] = None,
-                 r_mask=None, x_mask=None, train: bool = False) -> jax.Array:
+                 r_mask=None, x_mask=None, train: bool = False,
+                 ada_p: Optional[jax.Array] = None) -> jax.Array:
         """r: [B, R, H, W, 3]; x: [B, C, H, W, 3] in [-1, 1] → logits
-        [B, num_backbones × num_discs]."""
+        [B, num_backbones × num_discs].
+
+        ``ada_p``: optional traced scalar ∈ [0, 1] — per-image probability of
+        applying DiffAugment to the candidates (ADA; reference
+        setgan/training_loop.py:482-486 adapts this p). None keeps the
+        projected-GAN default of unconditional DiffAugment.
+        """
         b, rs = r.shape[:2]
         cs = x.shape[1]
         x_flat, r_flat = to_images(x), to_images(r)
@@ -197,23 +223,32 @@ class ProjectedSetDiscriminator(nn.Module):
         for bb in self.backbones:
             if self.diffaug and rng is not None:
                 x_aug = diff_augment(rng, x_flat)
+                if ada_p is not None:
+                    keep = jax.random.uniform(
+                        jax.random.fold_in(rng, 17),
+                        (x_flat.shape[0], 1, 1, 1)) < ada_p
+                    x_aug = jnp.where(keep, x_aug, x_flat)
             else:
                 x_aug = x_flat
             r_aug = r_flat
 
+            mean, std = BACKBONES[bb][1], BACKBONES[bb][2]
+
             def norm(v):
                 v = (v + 1) / 2
-                return (v - _IMAGENET_MEAN) / _IMAGENET_STD
+                return (v - mean) / std
 
             x_n, r_n = norm(x_aug), norm(r_aug)
             if self.interp224:
                 x_n = resize_bilinear(x_n, 224)
                 r_n = resize_bilinear(r_n, 224)
 
-            proj = FeatureProjector(name=f"proj_{bb}")
+            proj = FeatureProjector(backbone=bb, name=f"proj_{bb}")
             x_feats = {k: to_set(v, b) for k, v in proj(x_n).items()}
             r_feats = {k: to_set(v, b) for k, v in proj(r_n).items()}
-            res0 = 224 // 2 if self.interp224 else x.shape[2] // 2
+            in_res = 224 if self.interp224 else x.shape[2]
+            # stage-0 resolution: /2 for the VGG stack, /4 for DeiT/EffNet
+            res0 = in_res // (2 if bb == "vgg16_proj" else 4)
             resolutions = [res0 // (2 ** i) for i in range(4)]
             logits = MultiScaleD(resolutions, self.latent_size,
                                  self.num_discs, name=f"d_{bb}")(

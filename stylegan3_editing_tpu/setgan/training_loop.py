@@ -54,6 +54,18 @@ class SetGANTrainConfig:
     snapshot_ticks: int = 50
     eval_ticks: int = 50
     seed: int = 0
+    # ADA (reference setgan/training_loop.py:482-486): None disables the
+    # heuristic (D keeps unconditional DiffAugment); a target enables p-gated
+    # candidate augmentation with host-side p adaptation.
+    ada_target: Optional[float] = None
+    ada_interval_imgs: int = 256
+    ada_kimg: float = 500.0
+    augment_p: float = 0.0
+    # Projected-D feature backbones (reference train_setgan.py:227-234 uses
+    # the DeiT-base-distilled + EfficientNet-lite0 pair; "vgg16_proj" is the
+    # lightweight in-repo fallback).
+    d_backbones: tuple = ("deit_base_distilled_patch16_224",
+                          "tf_efficientnet_lite0")
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -74,7 +86,7 @@ class SetGANTrainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.G = SetGAN(decoder_cfg)
-        self.D = ProjectedSetDiscriminator()
+        self.D = ProjectedSetDiscriminator(backbones=tuple(cfg.d_backbones))
 
         res = decoder_cfg.img_resolution
         x0 = jnp.zeros((1, 2, 256, 256, 3))
@@ -116,6 +128,19 @@ class SetGANTrainer:
              "freeze": optax.set_to_zero()}, labels)
         self.d_opt = self.d_tx.init(self.d_vars["params"])
 
+        # ADA controller: host-side p adaptation from real-logit signs
+        # (reference training_loop.py:482-486; the reference constructs its
+        # augment pipe but its SetGAN loss never applies it — here p actually
+        # gates the D's candidate DiffAugment).
+        if cfg.ada_target is not None:
+            from .ada import AdaController
+            self.ada: Optional[AdaController] = AdaController(
+                target=cfg.ada_target, interval_imgs=cfg.ada_interval_imgs,
+                ada_kimg=cfg.ada_kimg)
+            self.ada.state.p = float(cfg.augment_p)
+        else:
+            self.ada = None
+
         self._rng = jax.random.PRNGKey(cfg.seed + 2)
         # NOTE: no donate_argnums — params appear both as jit arguments and
         # as closure-captured collections; donation would alias-corrupt the
@@ -138,7 +163,7 @@ class SetGANTrainer:
             train=False)
 
     def _g_step_impl(self, g_params, g_opt, d_params, batch, z, rng, pl_mean,
-                     blur_sigma: float, do_pl: bool):
+                     ada_p, blur_sigma: float, do_pl: bool):
         cfg = self.cfg
 
         def loss_fn(g_params):
@@ -147,7 +172,8 @@ class SetGANTrainer:
             logits = self.D.apply(
                 {**self.d_vars, "params": d_params}, batch["reference"],
                 imgs_b, rng=rng, r_mask=batch["ref_mask"],
-                x_mask=batch["cand_mask"])
+                x_mask=batch["cand_mask"],
+                ada_p=ada_p if self.ada is not None else None)
             loss = g_main_loss(logits)
             stats = {"Loss/G/loss": loss,
                      "Loss/scores/fake_G": jnp.mean(logits)}
@@ -189,7 +215,7 @@ class SetGANTrainer:
     # ------------------------------------------------------------ D phase
 
     def _d_step_impl(self, d_params, d_opt, g_params, batch, z, rng,
-                     blur_sigma: float):
+                     ada_p, blur_sigma: float):
         def loss_fn(d_params):
             gen_imgs, _ = self._run_g(g_params, batch, z)
             gen_imgs = jax.lax.stop_gradient(gen_imgs)
@@ -199,11 +225,13 @@ class SetGANTrainer:
             fake_logits = self.D.apply(
                 d_variables, batch["reference"], gen_b,
                 rng=jax.random.fold_in(rng, 0),
-                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"])
+                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"],
+                ada_p=ada_p if self.ada is not None else None)
             real_logits = self.D.apply(
                 d_variables, batch["reference"], real_b,
                 rng=jax.random.fold_in(rng, 1),
-                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"])
+                r_mask=batch["ref_mask"], x_mask=batch["cand_mask"],
+                ada_p=ada_p if self.ada is not None else None)
             loss, stats = d_main_loss(real_logits, fake_logits)
             return loss, stats
 
@@ -241,12 +269,14 @@ class SetGANTrainer:
                  and self.cur_nimg >= cfg.loss.pl_start_nimg
                  and step_idx % cfg.g_reg_interval == 0)
 
+        ada_p = jnp.asarray(self.ada.state.p if self.ada else 0.0,
+                            jnp.float32)
         self.d_vars["params"], self.d_opt, d_stats = self._d_step(
             self.d_vars["params"], self.d_opt, self.g_vars["params"], batch,
-            z, kd, blur_sigma=blur_sigma)
+            z, kd, ada_p, blur_sigma=blur_sigma)
         self.g_vars["params"], self.g_opt, g_stats, self.pl_mean = self._g_step(
             self.g_vars["params"], self.g_opt, self.d_vars["params"], batch,
-            z, kg, self.pl_mean, blur_sigma=blur_sigma, do_pl=do_pl)
+            z, kg, self.pl_mean, ada_p, blur_sigma=blur_sigma, do_pl=do_pl)
 
         # G_ema (beta from ema_kimg, training_loop.py:467-476).
         ema_nimg = cfg.ema_kimg * 1000
@@ -257,6 +287,13 @@ class SetGANTrainer:
 
         self.cur_nimg += cfg.batch_size
         metrics = {k: float(v) for k, v in {**d_stats, **g_stats}.items()}
+        # ADA p adaptation from this step's real-logit signs
+        # (reference training_loop.py:482-486).
+        if self.ada is not None:
+            c_eff = int(np.sum(batch["cand_mask"])) if "cand_mask" in batch \
+                else batch["candidate"].shape[0] * batch["candidate"].shape[1]
+            metrics["Progress/augment"] = self.ada.update(
+                metrics["Loss/signs/real"], c_eff)
         self.stats.update(metrics)
         return metrics
 
@@ -319,6 +356,8 @@ class SetGANTrainer:
         meta = {"cur_nimg": self.cur_nimg, "cur_tick": self.cur_tick,
                 "best_fid": self.best_fid,
                 "cfg": dataclasses.asdict(self.cfg)}
+        if self.ada is not None:
+            meta["ada"] = dataclasses.asdict(self.ada.state)
         save_pytree(path, tree, meta)
 
     def restore(self, path) -> "SetGANTrainer":
@@ -338,4 +377,7 @@ class SetGANTrainer:
             self.cur_nimg = int(meta["cur_nimg"])
             self.cur_tick = int(meta["cur_tick"])
             self.best_fid = meta.get("best_fid")
+            if self.ada is not None and meta.get("ada"):
+                from .ada import AdaState
+                self.ada.state = AdaState(**meta["ada"])
         return self

@@ -345,13 +345,6 @@ class Coach:
                "d_fake_loss": float(fl)}
 
         if self.global_step % opts.d_reg_every == 0:
-            def r1_fn(w):
-                return jnp.sum(self.disc.apply(
-                    {"params": self.disc_variables["params"]}, w))
-
-            grad_real = jax.grad(r1_fn)(jnp.asarray(real_w))
-            r1 = jnp.mean(jnp.sum(jnp.square(
-                grad_real.reshape(grad_real.shape[0], -1)), axis=1))
             d_params = self.disc_variables["params"]
 
             def r1_loss_fn(d_params, w):

@@ -23,6 +23,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compile cache: the suite re-jits many small convs; caching
-# across runs keeps `pytest -q` fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/sg3tpu_jax_cache")
+# across runs keeps `pytest -q` fast. The dir is keyed by the host's CPU
+# feature set — XLA:CPU AOT blobs are machine-specific, and loading a blob
+# compiled on a different host silently computes garbage (observed: cached
+# kernels with AVX-512 features missing on the execution host).
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((l for l in f if l.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_machine_key = hashlib.sha1(
+    (platform.machine() + _flags).encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/sg3tpu_jax_cache_{_machine_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

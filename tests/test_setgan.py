@@ -226,8 +226,13 @@ def test_fid_math():
 
 def test_setgan_train_step(class_folder, tmp_path):
     from stylegan3_editing_tpu.parallel import create_mesh
+    # ada_target=-2 guarantees sign(E[sign(real)] - target) > 0, so the
+    # ADA heuristic must RAISE p every interval (interval = 1 image) —
+    # the "overfitting D" direction of reference training_loop.py:482-486.
     cfg = SetGANTrainConfig(batch_size=2, tick_kimg=0.002, snapshot_ticks=1,
-                            eval_ticks=10)
+                            eval_ticks=10, ada_target=-2.0,
+                            ada_interval_imgs=1, ada_kimg=0.02,
+                            d_backbones=("vgg16_proj",))
     mesh = create_mesh(devices=jax.devices()[:2])
     trainer = SetGANTrainer(cfg, tiny_cfg(), mesh=mesh, run_dir=str(tmp_path))
     ds = ClassImageDataset.from_folder(class_folder, resolution=32)
@@ -249,7 +254,10 @@ def test_setgan_train_step(class_folder, tmp_path):
           jax.tree_util.tree_leaves(trainer.g_vars["params"]["style_attn"])]
     batch2 = gen.sample_batch()
     batch2["candidate"] = batch2["candidate"][:, :, ::8, ::8, :]
+    assert "Progress/augment" in m1, "ADA stats missing from metrics"
     m2 = trainer.train_step(batch2)
+    assert m2["Progress/augment"] > m1["Progress/augment"] or \
+        m2["Progress/augment"] == 1.0, "ADA p did not rise under forced target"
     p1 = [np.asarray(l) for l in
           jax.tree_util.tree_leaves(trainer.g_vars["params"]["style_attn"])]
     # Some leaves (attention key biases) legitimately have zero gradient;
@@ -261,6 +269,7 @@ def test_setgan_train_step(class_folder, tmp_path):
     t2 = SetGANTrainer(cfg, tiny_cfg(), run_dir=str(tmp_path))
     t2.restore(tmp_path / "snap")
     assert t2.cur_nimg == trainer.cur_nimg
+    assert t2.ada is not None and t2.ada.state.p == trainer.ada.state.p
 
 
 def test_zip_backed_dataset(class_folder, tmp_path):
@@ -272,3 +281,60 @@ def test_zip_backed_dataset(class_folder, tmp_path):
     img = ds.load(ds.class_to_paths[0][0])
     assert img.shape == (32, 32, 3)
     assert -1.0 <= img.min() and img.max() <= 1.0
+
+
+# ---------------------------------------------------------- inception / FID
+
+def test_inception_features_and_converter():
+    """InceptionV3 (FID pool3): output shape, converter key-map round-trip.
+
+    Parity target: NVIDIA's FID InceptionV3 TorchScript
+    (/root/reference/setgan/metric_utils.py:374-402) — torchvision topology
+    with the FID pooling patches; converter accepts pytorch-fid naming.
+    """
+    from stylegan3_editing_tpu.models.backbones.inception import (
+        InceptionV3Features, _BLOCKS, convert_inception, inception_feature_fn)
+
+    m = InceptionV3Features(resize_input=False)
+    x = jnp.zeros((1, 299, 299, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 2048)
+
+    # Fabricate a torch-style state dict from the init shapes and round-trip.
+    def get(tree, dotted):
+        node = tree
+        for kk in dotted.split("/"):
+            node = node[kk]
+        return np.asarray(node)
+
+    torch_state = {}
+    for name in _BLOCKS:
+        fl = name.replace(".", "/")
+        k = get(v["params"], f"{fl}/conv/kernel")
+        fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+        torch_state[f"{name}.conv.weight"] = (
+            RNG.randn(*np.transpose(k, (3, 2, 0, 1)).shape)
+            / np.sqrt(fan_in)).astype(np.float32)
+        c = k.shape[-1]
+        torch_state[f"{name}.bn.weight"] = RNG.randn(c).astype(np.float32)
+        torch_state[f"{name}.bn.bias"] = RNG.randn(c).astype(np.float32)
+        torch_state[f"{name}.bn.running_mean"] = RNG.randn(c).astype(np.float32)
+        torch_state[f"{name}.bn.running_var"] = \
+            np.abs(RNG.randn(c)).astype(np.float32) + 0.5
+    cv = convert_inception(torch_state)
+    assert jax.tree_util.tree_structure(cv["params"]) == \
+        jax.tree_util.tree_structure(dict(v["params"]))
+    assert jax.tree_util.tree_structure(cv["batch_stats"]) == \
+        jax.tree_util.tree_structure(dict(v["batch_stats"]))
+    # conv weights go through OIHW→HWIO exactly
+    w = torch_state["Mixed_7c.branch_pool.conv.weight"]
+    assert np.allclose(get(cv["params"], "Mixed_7c/branch_pool/conv/kernel"),
+                       w.transpose(2, 3, 1, 0))
+
+    # feature_fn path: resizes arbitrary inputs, deterministic
+    fn = inception_feature_fn(cv)
+    imgs = jnp.asarray(RNG.randn(2, 64, 64, 3).astype(np.float32)).clip(-1, 1)
+    f1, f2 = fn(imgs), fn(imgs)
+    assert f1.shape == (2, 2048)
+    assert np.allclose(f1, f2)
