@@ -28,7 +28,7 @@ import optax
 from ..models.sg3.config import SG3Config
 from ..parallel.mesh import batch_sharding, create_mesh, replicated
 from ..runtime.checkpoint import load_pytree, save_pytree
-from ..runtime.training_stats import StatsCollector
+from ..runtime.training_stats import StatsCollector, moments, psum_moments
 from .discriminator import ProjectedSetDiscriminator, projector_param_mask
 from .loss import (
     SetGANLossConfig,
@@ -66,6 +66,12 @@ class SetGANTrainConfig:
     # lightweight in-repo fallback).
     d_backbones: tuple = ("deit_base_distilled_patch16_224",
                           "tf_efficientnet_lite0")
+    # Encoder reference resolution (reference fixes 256; smaller values give
+    # cheap CPU dryruns of the full step graph).
+    ref_resolution: int = 256
+    d_interp224: bool = True  # resize D inputs to 224 (reference default)
+    d_latent_size: int = 512
+    d_num_discs: int = 4
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -86,10 +92,12 @@ class SetGANTrainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         self.G = SetGAN(decoder_cfg)
-        self.D = ProjectedSetDiscriminator(backbones=tuple(cfg.d_backbones))
+        self.D = ProjectedSetDiscriminator(
+            backbones=tuple(cfg.d_backbones), interp224=cfg.d_interp224,
+            latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs)
 
         res = decoder_cfg.img_resolution
-        x0 = jnp.zeros((1, 2, 256, 256, 3))
+        x0 = jnp.zeros((1, 2, cfg.ref_resolution, cfg.ref_resolution, 3))
         z0 = jnp.zeros((1, 1, decoder_cfg.z_dim))
         self.g_vars = jax.jit(self.G.init)(
             rng, x0, z0, latent_avg=jnp.zeros((decoder_cfg.w_dim,)))
@@ -233,12 +241,45 @@ class SetGANTrainer:
                 r_mask=batch["ref_mask"], x_mask=batch["cand_mask"],
                 ada_p=ada_p if self.ada is not None else None)
             loss, stats = d_main_loss(real_logits, fake_logits)
-            return loss, stats
+            return loss, (stats, real_logits, fake_logits)
 
-        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        (_, (stats, real_logits, fake_logits)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+        # Cross-device moment sync — ONE psum of the stacked (count, sum,
+        # sum-sq) matrix, the TPU equivalent of the reference's single
+        # all-reduce of concatenated counters (training_stats.py:235).
+        mstats = self._moment_stats({"scores/real": real_logits,
+                                     "scores/fake": fake_logits,
+                                     "signs/real": jnp.sign(real_logits),
+                                     "signs/fake": jnp.sign(fake_logits)})
+        stats = dict(stats)
+        for k, m in mstats.items():
+            stats["Loss/" + k] = m[1] / jnp.maximum(m[0], 1.0)
         grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         updates, d_opt = self.d_tx.update(grads, d_opt, d_params)
         return optax.apply_updates(d_params, updates), d_opt, stats
+
+    def _moment_stats(self, named):
+        """Per-shard moments + one `lax.psum` over the 'data' mesh axis
+        (runtime.training_stats.psum_moments), under shard_map so the
+        collective is explicit — not left to the GSPMD partitioner."""
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:  # newer jax
+            from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        keys = list(named.keys())
+
+        def local(*vs):
+            ms = {k: moments(v) for k, v in zip(keys, vs)}
+            out = psum_moments(ms, "data")
+            return tuple(out[k] for k in keys)
+
+        fn = shard_map(local, mesh=self.mesh,
+                       in_specs=tuple(P("data") for _ in keys),
+                       out_specs=tuple(P() for _ in keys))
+        return dict(zip(keys, fn(*[named[k] for k in keys])))
 
     def _ema_impl(self, g_ema, g_params, beta):
         return jax.tree_util.tree_map(
