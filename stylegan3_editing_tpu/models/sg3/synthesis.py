@@ -229,6 +229,7 @@ class SynthesisLayer(nn.Module):
             gain=1.0 if s.is_torgb else _SQRT2,
             slope=1.0 if s.is_torgb else 0.2,
             clamp=s.conv_clamp,
+            impl="auto",
         )
         assert x.shape[1:] == (s.out_size[1], s.out_size[0], s.out_channels)
         assert x.dtype == dtype

@@ -61,7 +61,10 @@ def filtered_lrelu(
         ``out = (in*up + pad0 + pad1 - (fu_taps-1) - (fd_taps-1) + (down-1)) // down``.
     """
     assert x.ndim == 4, "expected NHWC input"
-    assert impl in ("xla", "pallas")
+    if impl == "auto":
+        import os
+        impl = os.environ.get("SG3TPU_FLRELU_IMPL", "xla")
+    assert impl in ("xla", "pallas", "auto", "fused")
     assert isinstance(up, int) and up >= 1
     assert isinstance(down, int) and down >= 1
     px0, px1, py0, py1 = parse_padding(padding)
@@ -74,6 +77,23 @@ def filtered_lrelu(
     in_dtype = x.dtype
     out_w = (in_w * up + (px0 + px1) - (fu_w - 1) - (fd_w - 1) + (down - 1)) // down
     out_h = (in_h * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1) + (down - 1)) // down
+
+    if impl == "fused" and not flip_filter and jax.default_backend() == "tpu":
+        # One-kernel VMEM path (ops/pallas_flrelu.py): the ×u intermediate
+        # grid never touches HBM. Falls through to the composition when the
+        # config is outside the kernel's envelope (e.g. the filterless
+        # ToRGB layer, odd down factors).
+        from .pallas_flrelu import fused_filtered_lrelu
+
+        fu_np = fu if (fu is None or isinstance(fu, np.ndarray)) else None
+        fd_np = fd if (fd is None or isinstance(fd, np.ndarray)) else None
+        if fu_np is not None and fd_np is not None:
+            out = fused_filtered_lrelu(
+                x, fu_np, fd_np, b, up, down, (px0, px1, py0, py1),
+                gain=gain, slope=slope, clamp=clamp)
+            if out is not None:
+                assert out.shape == (batch, out_h, out_w, channels)
+                return out
 
     x = bias_act(x=x, b=b)
     x = upfirdn2d(

@@ -1,0 +1,372 @@
+"""Fused filtered leaky-ReLU as ONE Pallas TPU kernel per layer.
+
+TPU counterpart of the reference's fused CUDA kernel
+(/root/reference/torch_utils/ops/filtered_lrelu.cu:139-153): the whole
+bias → up-FIR → leaky-ReLU·gain → clamp → down-FIR chain runs per output
+tile inside VMEM — the ×u up-sampled intermediate grid (the HBM killer of
+the composed path: ~2100² activations for SG3-R's top 1024² layers) is
+never materialized off-chip. One HBM read of the input tile (+halo), one
+HBM write of the output tile.
+
+Design (TPU-first, not a CUDA translation):
+- **Phase-plane polyphase**: the up-sampled grid is held as u×u separate
+  phase planes (up-grid index y = q·u + p ↦ plane p, row q). Up-FIR writes
+  planes contiguously; the stride-2 down-FIR *reads* planes contiguously
+  (output m ↦ plane (2m+t) mod u, offset (2m+t)//u). No strided VMEM access
+  anywhere; the only interleave is a final stack+reshape for u=4.
+- **Radial down-filters** (SG3-R's jinc) enter as their exact rank-≤4 SVD
+  separation (ops/fir._separate_2d); ranks accumulate into the output
+  planes inside the kernel.
+- Grid over (N, H-tiles, W-tiles, C-blocks); halo'd input tiles are DMA'd
+  manually from an ANY-space ref (BlockSpecs cannot overlap). All index
+  arithmetic is static per instance; tile starts are affine in the grid
+  indices.
+- fp32 tap arithmetic regardless of input dtype (parity with the reference
+  kernel's internal fp32 accumulation).
+
+Differentiable via a custom VJP: the backward is the SAME kernel shape with
+the roles of up/down swapped — recompute the pre-activation planes from the
+saved input (cheap, VMEM-local), multiply the incoming cotangent's up-FIR
+(adjoint of down-FIR) by the activation derivative, then apply the adjoint
+of the up-FIR (a stride-u down-FIR). Bias grad is a reduction on the input
+cotangent handled outside.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------- host plans
+
+
+class _AxisPlan:
+    """Static per-axis plan for up-FIR phase planes + stride-2 down-FIR.
+
+    Correlation convention: taps already flipped & gain-folded by the caller.
+    """
+
+    def __init__(self, length: int, tile: int, fu: np.ndarray, td: int,
+                 up: int, pad0: int, pad1: int, align: int = 1):
+        self.u = up
+        self.tile = tile
+        self.length = length
+        tu = len(fu)
+        # Up-grid (after up-FIR) and output lengths.
+        self.len_a = length * up + pad0 + pad1 - tu + 1
+        self.len_out = (self.len_a - td) // 2 + 1
+        assert self.len_out > 0
+        self.n_tiles = -(-self.len_out // tile)
+        self.out_pad = self.n_tiles * tile
+        # Per-phase taps and input offsets: A[q·u+p] = Σ_j taps[p][j]·x[q+c_p+j]
+        self.phase_taps = []
+        self.phase_off = []
+        for p in range(up):
+            s0 = (pad0 - p) % up
+            taps = fu[s0::up]
+            c_p = (p + s0 - pad0) // up
+            self.phase_taps.append(np.asarray(taps, np.float64))
+            self.phase_off.append(c_p)
+        # Planes per tile: q ∈ [q0, q0+Q), q0 = blk·stride_q.
+        ly = 2 * tile + td - 1
+        self.q_count = (ly - 1) // up + 1
+        self.stride_q = 2 * tile // up
+        assert 2 * tile % up == 0, "tile must be a multiple of up/2"
+        base_in = min(self.phase_off)
+        hi = max(c + len(t) for c, t in zip(self.phase_off, self.phase_taps))
+        self.in_tile = self.q_count + hi - base_in - 1
+        self.base_in = base_in
+        # Host padding so all tile reads hit valid (zero-padded) memory.
+        # `align`: DMA slice starts/lengths along this axis must be multiples
+        # of the sublane tile (the axon TPU worker faults on unaligned DMA
+        # windows) — grow pad_left so tile starts are aligned, round the
+        # window length up, and grow pad_right to cover.
+        self.pad_left = max(0, -base_in)
+        if align > 1:
+            self.pad_left += (-(base_in + self.pad_left)) % align
+            assert self.stride_q % align == 0, (
+                f"tile {tile} gives DMA stride {self.stride_q} not divisible "
+                f"by align {align}")
+            self.in_tile = -(-self.in_tile // align) * align
+        # Last tile's read end (unpadded coords) vs the input length.
+        self.pad_right = max(
+            0, (self.n_tiles - 1) * self.stride_q + base_in + self.in_tile
+            - length)
+        # In-kernel window offsets relative to the tile's input start
+        # (tile start row = blk·stride_q + base_in + pad_left).
+        self.win_off = [c - base_in for c in self.phase_off]
+
+    def tile_start(self, blk):
+        return blk * self.stride_q + self.base_in + self.pad_left
+
+    def valid_range(self) -> Tuple[int, int]:
+        """[lo, hi) of valid (non-host-padding) rows in padded coords."""
+        return self.pad_left, self.pad_left + self.length
+
+
+def _down_groups(u: int, td: int):
+    """Static read plan of the stride-2 down-FIR over u phase planes.
+
+    Returns [(a, plane, offset, tap_index)] for output parity classes
+    a ∈ range(u // 2) (1 class for u=2, 2 interleaved classes for u=4).
+    """
+    classes = max(u // 2, 1)
+    plan = []
+    for a in range(classes):
+        for t in range(td):
+            y = 2 * a + t
+            plan.append((a, y % u, y // u, t))
+    return classes, plan
+
+
+# ----------------------------------------------------------------- kernel
+
+
+def _act_lrelu(v, slope: float, gain: float, clamp: Optional[float]):
+    v = jnp.where(v >= 0, v, v * np.float32(slope)) * np.float32(gain)
+    if clamp is not None:
+        v = jnp.clip(v, -np.float32(clamp), np.float32(clamp))
+    return v
+
+
+def _up_pass(x, plan: _AxisPlan, axis: int, count: int):
+    """Phase planes along `axis`: list of u arrays with `count` entries."""
+    planes = []
+    for p in range(plan.u):
+        taps = plan.phase_taps[p]
+        off = plan.win_off[p]
+        acc = None
+        for j, tap in enumerate(taps):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(off + j, off + j + count)
+            term = x[tuple(idx)] * np.float32(tap)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            shape = list(x.shape)
+            shape[axis] = count
+            acc = jnp.zeros(shape, jnp.float32)
+        planes.append(acc)
+    return planes
+
+
+def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int):
+    """Stride-2 down-FIR over `u` phase planes → list of parity outputs."""
+    classes, plan = _down_groups(u, len(taps))
+    outs = [None] * classes
+    for a, p, off, t in plan:
+        idx = [slice(None)] * planes[p].ndim
+        idx[axis] = slice(off, off + count)
+        term = planes[p][tuple(idx)] * np.float32(taps[t])
+        outs[a] = term if outs[a] is None else outs[a] + term
+    return outs
+
+
+def _interleave(parts, axis: int):
+    """Interleave parity-class arrays along `axis` (stack + reshape)."""
+    if len(parts) == 1:
+        return parts[0]
+    stacked = jnp.stack(parts, axis=axis + 1)
+    shape = list(parts[0].shape)
+    shape[axis] *= len(parts)
+    return stacked.reshape(shape)
+
+
+def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
+                      terms, slope, gain, clamp, u):
+    n, hb, wb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tc = xt.shape[-1]
+    h0 = plan_h.tile_start(hb)
+    w0 = plan_w.tile_start(wb)
+    dma = pltpu.make_async_copy(
+        x_ref.at[n, pl.ds(h0, plan_h.in_tile), pl.ds(w0, plan_w.in_tile),
+                 pl.ds(pl.program_id(3) * tc, tc)],
+        xt, sem)
+    dma.start()
+    dma.wait()
+
+    # Bias lands only on REAL input pixels: the host zero-padding must stay
+    # zero (the composition pads after the bias add).
+    ih, iw = plan_h.in_tile, plan_w.in_tile
+    vlo_h, vhi_h = plan_h.valid_range()
+    vlo_w, vhi_w = plan_w.valid_range()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ih, iw, 1), 0) + h0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ih, iw, 1), 1) + w0
+    valid = ((rows >= vlo_h) & (rows < vhi_h)
+             & (cols >= vlo_w) & (cols < vhi_w))
+    x = xt[...].astype(jnp.float32) + jnp.where(
+        valid, b_ref[0, 0].astype(jnp.float32), np.float32(0.0))
+
+    w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count)
+    # a_planes[p_h][p_w], each [Qh, Qw, TC], activated.
+    a_planes = [[None] * u for _ in range(u)]
+    for p_w in range(u):
+        h_of_w = _up_pass(w_planes[p_w], plan_h, axis=0,
+                          count=plan_h.q_count)
+        for p_h in range(u):
+            a_planes[p_h][p_w] = _act_lrelu(h_of_w[p_h], slope, gain, clamp)
+
+    classes_h = max(u // 2, 1)
+    classes_w = max(u // 2, 1)
+    th = plan_h.tile // classes_h
+    tw = plan_w.tile // classes_w
+    out_acc = [[None] * classes_w for _ in range(classes_h)]
+    for col_taps, row_taps in terms:
+        dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw)
+              for p_h in range(u)]
+        for a_w in range(classes_w):
+            cols = _down_pass([dw[p_h][a_w] for p_h in range(u)],
+                              col_taps, u, axis=0, count=th)
+            for a_h in range(classes_h):
+                prev = out_acc[a_h][a_w]
+                out_acc[a_h][a_w] = cols[a_h] if prev is None \
+                    else prev + cols[a_h]
+
+    rows = [_interleave(out_acc[a_h], axis=1) for a_h in range(classes_h)]
+    o_ref[0] = _interleave(rows, axis=0).astype(o_ref.dtype)
+
+
+# ------------------------------------------------------------- entry point
+
+
+def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
+                w_align: int = 16,
+                budget: int = 9 * 2 ** 20) -> Tuple[int, int]:
+    """Largest square-ish (TM, TW) whose VMEM footprint fits the budget.
+
+    TW must give a w_align-aligned DMA stride (2·TW/u ≡ 0 mod w_align);
+    TM only needs 2·TM ≡ 0 mod u.
+    """
+    step = max(u // 2, 1)
+    w_step = w_align * u // 2  # smallest TW with aligned stride
+    for t in [128, 96, 80, 64, 48, 40, 32, 24, 16, 8]:
+        tm = max((t // step) * step, step)
+        tw = max((t // w_step) * w_step, w_step)
+        q = (2 * max(tm, tw) + td - 2) // u + 1
+        in_tile = q + tu // u + 2
+        x_bytes = in_tile * in_tile * c_block * esize
+        planes = (u * in_tile * q + u * u * q * q) * c_block * 4
+        down = 2 * u * q * max(tm, tw) * c_block * 4
+        out = tm * tw * c_block * esize
+        if x_bytes + planes + down + out <= budget:
+            return tm, tw
+    return step, w_step
+
+
+def fused_filtered_lrelu(
+    x: jax.Array,
+    fu: Optional[np.ndarray],
+    fd: Optional[np.ndarray],
+    b: Optional[jax.Array],
+    up: int,
+    down: int,
+    padding: Tuple[int, int, int, int],
+    gain: float,
+    slope: float,
+    clamp: Optional[float],
+    c_block: int = 128,
+    interpret: Optional[bool] = None,
+) -> Optional[jax.Array]:
+    """One-kernel filtered lrelu. Returns None if the config is unsupported.
+
+    Supported: down == 2, up ∈ {2, 4}, static numpy filters, fu 1-D
+    separable, fd 1-D or SVD-separable 2-D — i.e. every SG3 synthesis layer
+    except the filterless ToRGB (which needs no FIR at all).
+    """
+    from .fir import _separate_2d
+
+    if down != 2 or up not in (2, 4):
+        return None
+    if fu is None or fd is None:
+        return None
+    fu = np.asarray(fu, np.float64)
+    fd = np.asarray(fd, np.float64)
+    if fu.ndim != 1:
+        return None
+
+    if up == 4:
+        # Route ×4 layers through the ×2 kernel: zero-stuff ×2 on the host
+        # (an interior lax.pad XLA fuses into the producing op), then the
+        # remaining ×2 up + 24-tap FIR runs fused. Bias must land on real
+        # pixels only, so it is pre-added before stuffing; the extra ×2 of
+        # the ×4 per-axis up-gain folds into the taps.
+        if b is not None:
+            x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
+        x = jax.lax.pad(x, jnp.zeros((), x.dtype),
+                        [(0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)])
+        return fused_filtered_lrelu(
+            x, fu * 2.0, fd, None, 2, down, padding, gain, slope, clamp,
+            c_block=c_block, interpret=interpret)
+    px0, px1, py0, py1 = padding
+
+    # Correlation-order taps with gains folded (upfirdn2d composition:
+    # up pass gain=up² → ×up per axis; down pass gain=1).
+    fu_c = fu[::-1] * up
+    if fd.ndim == 1:
+        fd_c = fd[::-1]
+        terms = [(fd_c, fd_c)]
+    else:
+        terms = _separate_2d(fd[::-1, ::-1])
+        if terms is None:
+            return None
+    td_h = len(terms[0][0])
+    td_w = len(terms[0][1])
+
+    n, h, w, c = x.shape
+    dtype = x.dtype
+    esize = jnp.dtype(dtype).itemsize
+
+    w_align = 16  # bf16 sublane tile; safe for fp32 too
+    tm, tw = _pick_tiles(up, len(fu_c), max(td_h, td_w), c_block, esize,
+                         w_align=w_align)
+    plan_h = _AxisPlan(h, tm, fu_c, td_h, up, py0, py1)
+    plan_w = _AxisPlan(w, tw, fu_c, td_w, up, px0, px1, align=w_align)
+
+    # Host padding: filter halos + channel round-up to the block size.
+    c_pad = -(-c // c_block) * c_block
+    xp = jnp.pad(x, ((0, 0),
+                     (plan_h.pad_left, plan_h.pad_right),
+                     (plan_w.pad_left, plan_w.pad_right),
+                     (0, c_pad - c)))
+    bias = jnp.zeros((c_pad,), jnp.float32) if b is None else \
+        jnp.pad(b.astype(jnp.float32), (0, c_pad - c))
+    # 2-D [c_blocks, c_block] so each grid step gets a clean (1, c_block)
+    # block — 1-D bias blocks hit XLA↔Mosaic layout-tile mismatches.
+    bias = bias.reshape(c_pad // c_block, 1, c_block)
+
+    kernel = functools.partial(
+        _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
+        slope=float(slope), gain=float(gain),
+        clamp=None if clamp is None else float(clamp), u=up)
+
+    grid = (n, plan_h.n_tiles, plan_w.n_tiles, c_pad // c_block)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n, plan_h.out_pad, plan_w.out_pad, c_pad), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1, c_block),
+                               lambda n, i, j, cb: (cb, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tm, tw, c_block),
+                               lambda n, i, j, cb: (n, i, j, cb),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((plan_h.in_tile, plan_w.in_tile, c_block), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(xp, bias)
+    return out[:, :plan_h.len_out, :plan_w.len_out, :c]

@@ -206,3 +206,58 @@ def test_setup_filter_modes():
     assert f2.shape == (8,)  # long 1-D stays separable
     f3 = setup_filter([1, 2, 1], gain=4, separable=True)
     np.testing.assert_allclose(f3.sum(), 2.0, rtol=1e-6)  # gain^(1/2) * 1
+
+
+# ------------------------------------------------- fused Pallas filtered lrelu
+
+def test_fused_filtered_lrelu_vs_composition():
+    """Fused one-kernel filtered lrelu (ops/pallas_flrelu.py) matches the
+    composed reference semantics on every SG3-R layer geometry.
+
+    Runs the Pallas kernel in interpret mode on CPU. Parity target: the
+    reference fused CUDA kernel /root/reference/torch_utils/ops/
+    filtered_lrelu.cu:139-153 via `_filtered_lrelu_ref` semantics.
+    """
+    import math
+
+    from stylegan3_editing_tpu.models.sg3.config import (
+        build_synthesis_layout, sg3_r_config)
+    from stylegan3_editing_tpu.ops.filtered_lrelu import filtered_lrelu
+    from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
+
+    layout = build_synthesis_layout(sg3_r_config(1024))
+    rng = np.random.RandomState(0)
+    # One u=2 positive-pad, one u=4 crop, one separable-down, one radial-down.
+    picked = {"L0_36_1024", "L2_52_1024", "L12_1044_64", "L13_1024_64"}
+    for s in layout.layers:
+        if s.up_filter is None or s.name not in picked:
+            continue
+        hi = max(s.in_size[1] // 16, 24)
+        wi = max(s.in_size[0] // 16, 24)
+        c = min(s.out_channels, 40)
+        x = jnp.asarray(rng.randn(2, hi, wi, c).astype(np.float32))
+        b = jnp.asarray(rng.randn(c).astype(np.float32))
+        ref = filtered_lrelu(
+            x, fu=s.up_filter, fd=s.down_filter, b=b, up=s.up_factor,
+            down=s.down_factor, padding=s.padding, clamp=s.conv_clamp,
+            impl="xla")
+        got = fused_filtered_lrelu(
+            x, s.up_filter, s.down_filter, b, s.up_factor, s.down_factor,
+            tuple(s.padding), gain=math.sqrt(2), slope=0.2,
+            clamp=s.conv_clamp, c_block=32)
+        assert got is not None, s.name
+        assert got.shape == ref.shape, s.name
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=s.name)
+
+
+def test_fused_filtered_lrelu_unsupported_configs():
+    from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
+
+    x = jnp.zeros((1, 8, 8, 4))
+    f = np.ones(4) / 4
+    # down != 2 and missing filters are outside the kernel envelope
+    assert fused_filtered_lrelu(x, f, f, None, 2, 1, (0, 0, 0, 0),
+                                1.0, 0.2, None) is None
+    assert fused_filtered_lrelu(x, None, f, None, 2, 2, (0, 0, 0, 0),
+                                1.0, 0.2, None) is None
