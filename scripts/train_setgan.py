@@ -56,11 +56,63 @@ class SetGANCliOptions:
     seed: int = 0
     resume: Optional[str] = None
     generator_path: Optional[str] = None  # pretrained stem (.pt/.npz)
+    # FID feature network: converted InceptionV3 (pool3) weights .npz — the
+    # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
+    # in-repo InceptionV3 at random init (plumbing identical; numbers not
+    # comparable to published FIDs until weights are supplied).
+    inception_path: Optional[str] = None
+    fid_classes: int = 8  # classes sampled per eval
+    fid_mode: str = "agg"  # agg | sfid | rfid
     # decoder capacity
     cbase: int = 16384
     cmax: int = 256
     syn_layers: int = 7
     fid_items_per_class: int = 256
+
+
+def make_fid_eval_fn(opts: "SetGANCliOptions", dataset):
+    """Class-conditional FID with InceptionV3 pool3 features.
+
+    Parity: reference in-loop FID eval + best-model selection
+    (setgan/training_loop.py:590-615, metrics.py:28-76); features from
+    NVIDIA's InceptionV3 (metric_utils.py:374-402) — here the in-repo flax
+    port with optionally converted weights.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stylegan3_editing_tpu.models.backbones.inception import (
+        InceptionV3Features, inception_feature_fn)
+    from stylegan3_editing_tpu.runtime.checkpoint import load_pytree
+
+    if opts.inception_path:
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, load_pytree(opts.inception_path)[0])
+    else:
+        model = InceptionV3Features()
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    feature_fn = inception_feature_fn(variables)
+    rng = np.random.RandomState(opts.seed + 7)
+
+    def eval_fn(trainer) -> float:
+        fid = ConditionalFID(feature_fn,
+                             max_items_per_class=opts.fid_items_per_class)
+        n_classes = min(opts.fid_classes, len(dataset.classes))
+        idxs = rng.choice(len(dataset.classes), n_classes, replace=False)
+        per = min(opts.fid_items_per_class, 16)
+        for idx in idxs:
+            key = dataset.classes[int(idx)]
+            paths = dataset.class_to_paths[key][:per]
+            real = np.stack([dataset.load(p) for p in paths])
+            refs = real[None, : max(len(real) // 2, 1)]
+            fakes = trainer.generate(
+                refs, num_candidates=len(real), use_ema=True)
+            fid.append_real(int(idx), real)
+            fid.append_fake(int(idx), np.asarray(fakes[0]))
+        return fid.compute(opts.fid_mode)
+
+    return eval_fn
 
 
 def main(opts: SetGANCliOptions):
@@ -98,7 +150,8 @@ def main(opts: SetGANCliOptions):
     if opts.resume:
         trainer.restore(opts.resume)
 
-    trainer.train(iter(data))
+    eval_fn = make_fid_eval_fn(opts, dataset)
+    trainer.train(iter(data), eval_fn=eval_fn)
     trainer.snapshot(run_dir / "final")
     print(f"done at {trainer.cur_nimg / 1000:.1f} kimg, "
           f"best_fid={trainer.best_fid}")

@@ -338,6 +338,26 @@ class SetGANTrainer:
         self.stats.update(metrics)
         return metrics
 
+    # --------------------------------------------------------- inference
+
+    def generate(self, references: np.ndarray, num_candidates: int,
+                 use_ema: bool = True, seed: int = 0) -> np.ndarray:
+        """Sample candidate images conditioned on reference sets.
+
+        references: [B, R, H, W, 3] in [-1, 1]. Returns [B, num_candidates,
+        res, res, 3]. Parity: the reference's G_ema eval/grid path
+        (setgan/training_loop.py:315-346, :590-615).
+        """
+        refs = jnp.asarray(references)
+        b = refs.shape[0]
+        z = jax.random.normal(jax.random.PRNGKey(seed),
+                              (b, num_candidates, self.decoder_cfg.z_dim))
+        params = self.g_ema_params if use_ema else self.g_vars["params"]
+        imgs, _ = self._run_g(
+            params, {"reference": refs,
+                     "ref_mask": jnp.ones(refs.shape[:2], bool)}, z)
+        return np.asarray(imgs)
+
     # ------------------------------------------------------------ the loop
 
     def train(self, data: Iterable, total_kimg: Optional[int] = None,

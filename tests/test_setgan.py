@@ -338,3 +338,30 @@ def test_inception_features_and_converter():
     f1, f2 = fn(imgs), fn(imgs)
     assert f1.shape == (2, 2048)
     assert np.allclose(f1, f2)
+
+
+def test_train_setgan_fid_eval_path(class_folder, tmp_path):
+    """CLI FID eval: InceptionV3 pool3 features drive ConditionalFID from a
+    live trainer (reference in-loop eval, setgan/training_loop.py:590-615 +
+    metric_utils.py:374-402)."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "train_setgan_cli",
+        str(Path(__file__).parent.parent / "scripts" / "train_setgan.py"))
+    cli = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = cli  # dataclass introspection needs the module
+    spec.loader.exec_module(cli)
+
+    ds = ClassImageDataset.from_folder(class_folder, resolution=32)
+    opts = cli.SetGANCliOptions(fid_classes=2, fid_items_per_class=4,
+                                seed=0)
+    cfg = SetGANTrainConfig(batch_size=2, d_backbones=("vgg16_proj",),
+                            ref_resolution=64, d_interp224=False,
+                            d_latent_size=64, d_num_discs=2)
+    trainer = SetGANTrainer(cfg, tiny_cfg(), run_dir=str(tmp_path))
+    eval_fn = cli.make_fid_eval_fn(opts, ds)
+    fid = eval_fn(trainer)
+    assert np.isfinite(fid) and fid >= 0
