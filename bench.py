@@ -15,10 +15,12 @@ import json
 import os
 import time
 
-# Inference-only graph: take the Pallas FIR kernel on the hot passes
-# (training graphs keep the conv path — the remote compile helper cannot
-# hold fwd+adjoint kernel counts).
-os.environ.setdefault("SG3TPU_FIR_IMPL", "pallas_hot")
+# Default path: the fused one-kernel Pallas filtered_lrelu on every layer
+# (ops/pallas_flrelu.py) — measured fastest end-to-end (BASELINE.md).
+os.environ.setdefault("SG3TPU_FLRELU_IMPL", "fused")
+# Pallas kernels compile slowly through this env's remote-compile tunnel
+# (~1-4 min each); a persistent cache keeps repeat runs honest-fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sg3tpu_tpu_cache")
 
 import jax
 import jax.numpy as jnp

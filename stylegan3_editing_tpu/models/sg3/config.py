@@ -60,6 +60,15 @@ class SG3Config:
     # TPU policy: run the `num_fp16_res` highest resolutions in bfloat16.
     use_bf16: bool = True
 
+    # Rematerialize each synthesis layer in the backward pass
+    # (jax.checkpoint): trades recompute for a much smaller grad graph —
+    # required for 1024² training/PTI graphs to compile in bounded memory
+    # (verified on-chip: the unrematerialized 1024² grad graph does not
+    # compile in this environment). jax.checkpoint is a no-op for pure
+    # forward passes, so this is safe to keep on for inference too.
+    # Env override: SG3TPU_REMAT=1/0.
+    remat: bool = True
+
     # Seed for the Fourier-feature frequency/phase buffers (overwritten by
     # checkpoint loads; only matters for from-scratch init).
     fourier_seed: int = 0

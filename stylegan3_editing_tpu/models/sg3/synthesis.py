@@ -246,10 +246,19 @@ class SynthesisNetwork(nn.Module):
     cfg: SG3Config
 
     def setup(self):
+        import os
+
         layout = build_synthesis_layout(self.cfg)
         self.input = SynthesisInput(layout.input)
+        env = os.environ.get("SG3TPU_REMAT")
+        remat_on = self.cfg.remat if env is None else env == "1"
+        # Per-layer rematerialization: each layer's activations are
+        # recomputed in the backward pass instead of stored, shrinking the
+        # 1024² grad graph to compilable size (SURVEY §7 "hard parts").
+        layer_cls = (nn.remat(SynthesisLayer, static_argnums=(4, 5))
+                     if remat_on else SynthesisLayer)
         for spec in layout.layers:
-            setattr(self, spec.name, SynthesisLayer(spec))
+            setattr(self, spec.name, layer_cls(spec))
 
     @property
     def layout(self) -> SynthesisLayout:
@@ -274,14 +283,14 @@ class SynthesisNetwork(nn.Module):
             x = self.input(ws[:, 0], transform=transform)
             for i, spec in enumerate(layout.layers):
                 layer: SynthesisLayer = getattr(self, spec.name)
-                x = layer(x, w=ws[:, i + 1], force_fp32=force_fp32,
-                          update_emas=update_emas)
+                # positional args: nn.remat static_argnums needs them
+                x = layer(x, ws[:, i + 1], None, force_fp32, update_emas)
         else:
             x = self.input(None, transform=transform, t=all_s["input"])
             for spec in layout.layers:
                 layer = getattr(self, spec.name)
-                x = layer(x, styles=all_s[spec.name], force_fp32=force_fp32,
-                          update_emas=update_emas)
+                x = layer(x, None, all_s[spec.name], force_fp32,
+                          update_emas)
 
         if self.cfg.output_scale != 1:
             x = x * jnp.asarray(self.cfg.output_scale, x.dtype)

@@ -179,18 +179,50 @@ def _interleave(parts, axis: int):
     return stacked.reshape(shape)
 
 
+def _decode_step(k, dims):
+    """1-D grid step → (n, hb, wb, cb). C-blocks innermost."""
+    _, nh, nw, nc = dims
+    cb = k % nc
+    r = k // nc
+    wb = r % nw
+    r = r // nw
+    hb = r % nh
+    n = r // nh
+    return n, hb, wb, cb
+
+
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
-                      terms, slope, gain, clamp, u):
-    n, hb, wb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+                   terms, slope, gain, clamp, u, dims):
+    """One output tile per 1-D grid step, with double-buffered input DMA:
+    step k waits on the tile prefetched at step k-1 and starts step k+1's
+    transfer before computing (guide pattern 'Double Buffering')."""
+    k = pl.program_id(0)
+    total = pl.num_programs(0)
     tc = xt.shape[-1]
+
+    def start_dma(step, slot):
+        n, hb, wb, cb = _decode_step(step, dims)
+        return pltpu.make_async_copy(
+            x_ref.at[n, pl.ds(plan_h.tile_start(hb), plan_h.in_tile),
+                     pl.ds(plan_w.tile_start(wb), plan_w.in_tile),
+                     pl.ds(cb * tc, tc)],
+            xt.at[slot], sem.at[slot])
+
+    slot = k % 2
+
+    @pl.when(k == 0)
+    def _():
+        start_dma(k, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        start_dma(k + 1, (k + 1) % 2).start()
+
+    start_dma(k, slot).wait()
+
+    n, hb, wb, cb = _decode_step(k, dims)
     h0 = plan_h.tile_start(hb)
     w0 = plan_w.tile_start(wb)
-    dma = pltpu.make_async_copy(
-        x_ref.at[n, pl.ds(h0, plan_h.in_tile), pl.ds(w0, plan_w.in_tile),
-                 pl.ds(pl.program_id(3) * tc, tc)],
-        xt, sem)
-    dma.start()
-    dma.wait()
 
     # Bias lands only on REAL input pixels: the host zero-padding must stay
     # zero (the composition pads after the bias add).
@@ -201,7 +233,7 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     cols = jax.lax.broadcasted_iota(jnp.int32, (ih, iw, 1), 1) + w0
     valid = ((rows >= vlo_h) & (rows < vhi_h)
              & (cols >= vlo_w) & (cols < vhi_w))
-    x = xt[...].astype(jnp.float32) + jnp.where(
+    x = xt[slot].astype(jnp.float32) + jnp.where(
         valid, b_ref[0, 0].astype(jnp.float32), np.float32(0.0))
 
     w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count)
@@ -341,29 +373,33 @@ def fused_filtered_lrelu(
     # block — 1-D bias blocks hit XLA↔Mosaic layout-tile mismatches.
     bias = bias.reshape(c_pad // c_block, 1, c_block)
 
+    dims = (n, plan_h.n_tiles, plan_w.n_tiles, c_pad // c_block)
     kernel = functools.partial(
         _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
         slope=float(slope), gain=float(gain),
-        clamp=None if clamp is None else float(clamp), u=up)
+        clamp=None if clamp is None else float(clamp), u=up, dims=dims)
 
-    grid = (n, plan_h.n_tiles, plan_w.n_tiles, c_pad // c_block)
+    # 1-D grid so the kernel can prefetch step k+1's input tile while
+    # computing step k (manual double buffering; Mosaic already pipelines
+    # the output block stores).
+    total = int(np.prod(dims))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (n, plan_h.out_pad, plan_w.out_pad, c_pad), dtype),
-        grid=grid,
+        grid=(total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 1, c_block),
-                               lambda n, i, j, cb: (cb, 0, 0),
+                               lambda k: (_decode_step(k, dims)[3], 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, tm, tw, c_block),
-                               lambda n, i, j, cb: (n, i, j, cb),
+                               lambda k: _decode_step(k, dims),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((plan_h.in_tile, plan_w.in_tile, c_block), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, plan_h.in_tile, plan_w.in_tile, c_block), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
