@@ -37,6 +37,11 @@ from stylegan3_editing_tpu.utils.cli import parse_dataclass
 class SetGANCliOptions:
     outdir: str = "./experiments/setgan"
     data: str = "./data"
+    # Named dataset wiring (reference train_setgan.py --dataset): celeba /
+    # celeba-ident / imagenet / vggface / animalfaces / flowers / cifar100 /
+    # mini-imagenet. Empty → treat --data as a class-per-subfolder root.
+    dataset: Optional[str] = None
+    data_augmentation: bool = False  # set-consistent flip+rotation aug
     resolution: int = 256
     total_kimg: int = 10000
     batch: int = 8
@@ -119,11 +124,19 @@ def main(opts: SetGANCliOptions):
     run_dir = Path(opts.outdir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
-    dataset = SafeClassImageDataset.from_folder(opts.data, opts.resolution)
+    if opts.dataset:
+        from stylegan3_editing_tpu.setgan.dataset import build_datasets
+        eval_ds, dataset = build_datasets(opts.dataset, opts.data,
+                                          opts.resolution)
+    else:
+        dataset = SafeClassImageDataset.from_folder(opts.data,
+                                                    opts.resolution)
+        eval_ds = dataset
     data = ImageMultiSetGenerator(
         dataset, batch_size=opts.batch,
         reference_range=(opts.reference_min, opts.reference_max),
         candidate_range=(opts.candidate_min, opts.candidate_max),
+        data_augmentation=opts.data_augmentation,
         seed=opts.seed)
 
     decoder_cfg = sg3_t_config(
@@ -150,7 +163,7 @@ def main(opts: SetGANCliOptions):
     if opts.resume:
         trainer.restore(opts.resume)
 
-    eval_fn = make_fid_eval_fn(opts, dataset)
+    eval_fn = make_fid_eval_fn(opts, eval_ds)
     trainer.train(iter(data), eval_fn=eval_fn)
     trainer.snapshot(run_dir / "final")
     print(f"done at {trainer.cur_nimg / 1000:.1f} kimg, "

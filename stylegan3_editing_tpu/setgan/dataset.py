@@ -50,6 +50,79 @@ class ClassImageDataset:
         return cls(mapping, resolution)
 
     @classmethod
+    def from_category_prefix(cls, root, resolution: int = 256
+                             ) -> "ClassImageDataset":
+        """Category = filename prefix before the first underscore (the
+        reference's `from_folder_by_category`, setgan/dataset.py:139-148 —
+        used by vggface/animalfaces/flowers/cifar100/mini-imagenet)."""
+        root = Path(root)
+        paths = [p for p in sorted(root.rglob("*"))
+                 if p.suffix.lower() in IMG_EXTENSIONS]
+        cats: Dict[str, List[Path]] = {}
+        for p in paths:
+            cats.setdefault(p.name.split("_")[0], []).append(p)
+        return cls({i: v for i, (_, v) in enumerate(sorted(cats.items()))},
+                   resolution)
+
+    @classmethod
+    def from_attributes(cls, src_path, attr_path, resolution: int = 256
+                        ) -> "ClassImageDataset":
+        """CelebA-style attribute annotations: one class per attribute
+        column; an image joins every class whose flag is +1 (reference
+        `from_folder_by_attributes`, setgan/dataset.py:150-189). Classes may
+        overlap — `class_to_paths` lists are independent."""
+        src = Path(src_path)
+        with open(attr_path) as f:
+            lines = f.read().splitlines()
+        lines = [l for l in lines if l.strip()]
+        categories = lines[1].split()
+        mapping: Dict[int, List[Path]] = {i: [] for i in range(len(categories))}
+        for line in lines[2:]:
+            tokens = line.split()
+            img = src / tokens[0]
+            flags = np.array([int(t) for t in tokens[1:]])
+            for i in np.where(flags == 1)[0]:
+                mapping[int(i)].append(img)
+        ds = cls(mapping, resolution)
+        ds.class_names = categories
+        return ds
+
+    @classmethod
+    def from_identities(cls, src_path, ident_path, resolution: int = 256
+                        ) -> "ClassImageDataset":
+        """CelebA-style identity annotations: `<image> <identity>` lines,
+        one class per identity (reference `from_folder_by_identities`,
+        setgan/dataset.py:191-226)."""
+        src = Path(src_path)
+        mapping: Dict[int, List[Path]] = {}
+        with open(ident_path) as f:
+            for line in f:
+                tokens = line.split()
+                if len(tokens) < 2:
+                    continue
+                mapping.setdefault(int(tokens[1]) - 1, []).append(
+                    src / tokens[0])
+        return cls(mapping, resolution)
+
+    def split_val(self, val_frac: float, randomize: bool = False,
+                  seed: Optional[int] = None
+                  ) -> Tuple["ClassImageDataset", "ClassImageDataset"]:
+        """(val, train) split BY CLASS (reference `split_datasets`,
+        setgan/dataset.py:370-379: the first val_frac of the class list)."""
+        classes = list(self.classes)
+        if randomize:
+            np.random.RandomState(seed).shuffle(classes)
+        n_val = int(val_frac * len(classes))
+        val = {c: self.class_to_paths[c] for c in classes[:n_val]}
+        train = {c: self.class_to_paths[c] for c in classes[n_val:]}
+        mk = type(self)
+        a, b = mk(val, self.resolution), mk(train, self.resolution)
+        a._zip = b._zip = self._zip
+        return a, b
+
+    class_names: Optional[List[str]] = None  # set by from_attributes
+
+    @classmethod
     def from_zip(cls, path, resolution: int = 256) -> "ClassImageDataset":
         """Zip-backed dataset: top-level archive directories are classes."""
         import zipfile
@@ -120,12 +193,16 @@ class ImageMultiSetGenerator:
                  reference_range: Tuple[int, int] = (7, 12),
                  candidate_range: Tuple[int, int] = (1, 4),
                  flip_augment: bool = True,
+                 data_augmentation: bool = False,
+                 rotation_fill: float = 0.0,
                  shard: int = 0, num_shards: int = 1, seed: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.r_min, self.r_max = reference_range
         self.c_min, self.c_max = candidate_range
         self.flip_augment = flip_augment
+        self.data_augmentation = data_augmentation
+        self.rotation_fill = rotation_fill
         self.rng = np.random.RandomState(seed * num_shards + shard)
 
     def _sample_class_set(self, cls: int, count: int) -> List[np.ndarray]:
@@ -133,13 +210,39 @@ class ImageMultiSetGenerator:
         replace = len(paths) < count
         idx = self.rng.choice(len(paths), size=count, replace=replace)
         imgs = [self.ds.load(paths[i]) for i in idx]
-        if self.flip_augment:
+        if self.flip_augment and not self.data_augmentation:
             imgs = [im[:, ::-1] if self.rng.rand() < 0.5 else im for im in imgs]
         return imgs
 
-    def sample_batch(self):
+    def _augment_set(self, imgs: List[np.ndarray]) -> List[np.ndarray]:
+        """Set-CONSISTENT augmentation: one random transform chain applied to
+        every image of a batch element's sets (reference `_augment_sets`,
+        setgan/dataset.py:470-484: 50% flip — 50/50 vertical/horizontal —
+        then 50% rotation by a uniform angle with constant fill)."""
+        ops = []
+        if self.rng.rand() < 0.5:
+            if self.rng.rand() < 0.5:
+                ops.append(lambda im: im[::-1])         # vertical flip
+            else:
+                ops.append(lambda im: im[:, ::-1])      # horizontal flip
+        if self.rng.rand() < 0.5:
+            from scipy.ndimage import rotate
+            angle = float(self.rng.rand() * 360)
+            ops.append(lambda im: rotate(
+                im, angle, reshape=False, order=1, mode="constant",
+                cval=self.rotation_fill))
+        out = []
+        for im in imgs:
+            for op in ops:
+                im = op(im)
+            out.append(np.ascontiguousarray(im, np.float32))
+        return out
+
+    def sample_batch(self, contrastive: bool = False):
         """→ dict(reference [B,Rmax,H,W,3], candidate [B,Cmax,H,W,3],
-        ref_mask [B,Rmax], cand_mask [B,Cmax], classes [B])."""
+        ref_mask [B,Rmax], cand_mask [B,Cmax], classes [B]); with
+        ``contrastive`` also contrastive_reference/_mask/_classes from
+        guaranteed-different classes (reference dataset.py:545-566)."""
         res = self.ds.resolution
         b = self.batch_size
         r_sizes = self.rng.randint(self.r_min, self.r_max + 1, size=b)
@@ -151,14 +254,79 @@ class ImageMultiSetGenerator:
         classes = self.rng.choice(self.ds.classes, size=b)
         for i, cls in enumerate(classes):
             imgs = self._sample_class_set(int(cls), r_sizes[i] + c_sizes[i])
+            if self.data_augmentation:
+                imgs = self._augment_set(imgs)
             reference[i, :r_sizes[i]] = imgs[:r_sizes[i]]
             candidate[i, :c_sizes[i]] = imgs[r_sizes[i]:]
             ref_mask[i, :r_sizes[i]] = True
             cand_mask[i, :c_sizes[i]] = True
-        return {"reference": reference, "candidate": candidate,
-                "ref_mask": ref_mask, "cand_mask": cand_mask,
-                "classes": classes}
+        batch = {"reference": reference, "candidate": candidate,
+                 "ref_mask": ref_mask, "cand_mask": cand_mask,
+                 "classes": classes}
+        if contrastive:
+            assert len(self.ds.classes) > 1, "contrastive needs >1 class"
+            con = np.array([self.rng.choice(
+                [c for c in self.ds.classes if c != cls])
+                for cls in classes])
+            con_ref = np.zeros_like(reference)
+            con_mask = np.zeros_like(ref_mask)
+            for i, cls in enumerate(con):
+                imgs = self._sample_class_set(int(cls), r_sizes[i])
+                if self.data_augmentation:
+                    imgs = self._augment_set(imgs)
+                con_ref[i, :r_sizes[i]] = imgs
+                con_mask[i, :r_sizes[i]] = True
+            batch["contrastive_reference"] = con_ref
+            batch["contrastive_mask"] = con_mask
+            batch["contrastive_classes"] = con
+        return batch
 
     def __iter__(self):
         while True:
             yield self.sample_batch()
+
+
+# ------------------------------------------------- per-dataset wiring
+
+def build_datasets(name: str, data_root, resolution: int,
+                   val_frac: float = 0.1, paths: Optional[dict] = None
+                   ) -> Tuple[ClassImageDataset, ClassImageDataset]:
+    """(eval_ds, train_ds) for the reference's named datasets
+    (setgan/dataset.py:309-366 / train_setgan.py --dataset).
+
+    Layout conventions per dataset under ``data_root`` (override any path
+    via ``paths``):
+      celeba / face   — img_align_celeba/ + list_attr_celeba.txt (by attrs)
+      celeba-ident    — img_align_celeba/ + identity_CelebA.txt (by identity)
+      imagenet        — one subfolder per class (train/val split by class)
+      vggface, animalfaces, flowers, cifar100, mini-imagenet —
+                        <name>/train + <name>/test, category = filename
+                        prefix before '_'
+    """
+    root = Path(data_root)
+    p = paths or {}
+
+    def at(key, default):
+        return Path(p.get(key, root / default))
+
+    if name in ("celeba", "face"):
+        ds = ClassImageDataset.from_attributes(
+            at("src", "img_align_celeba"),
+            at("attr", "list_attr_celeba.txt"), resolution)
+        return ds.split_val(val_frac)
+    if name == "celeba-ident":
+        ds = ClassImageDataset.from_identities(
+            at("src", "img_align_celeba"),
+            at("ident", "identity_CelebA.txt"), resolution)
+        return ds.split_val(val_frac)
+    if name == "imagenet":
+        ds = ClassImageDataset.from_folder(at("src", "imagenet"), resolution)
+        return ds.split_val(val_frac)
+    if name in ("vggface", "animalfaces", "flowers", "cifar100",
+                "mini-imagenet"):
+        train = ClassImageDataset.from_category_prefix(
+            at("train", f"{name}/train"), resolution)
+        test = ClassImageDataset.from_category_prefix(
+            at("test", f"{name}/test"), resolution)
+        return test, train
+    raise ValueError(f"unknown dataset {name!r}")

@@ -9,6 +9,7 @@ from PIL import Image
 
 from stylegan3_editing_tpu.models.sg3 import SG3Config
 from stylegan3_editing_tpu.setgan.dataset import (
+    build_datasets,
     ClassImageDataset,
     ImageMultiSetGenerator,
     SafeClassImageDataset,
@@ -365,3 +366,85 @@ def test_train_setgan_fid_eval_path(class_folder, tmp_path):
     eval_fn = cli.make_fid_eval_fn(opts, ds)
     fid = eval_fn(trainer)
     assert np.isfinite(fid) and fid >= 0
+
+
+# ------------------------------------------- dataset parity (reference modes)
+
+def test_dataset_from_attributes_and_identities(tmp_path):
+    """CelebA-style loaders (reference setgan/dataset.py:150-226)."""
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype("uint8")).save(
+            src / f"{i:06d}.jpg")
+    attr = tmp_path / "attrs.txt"
+    attr.write_text(
+        "6\nSmiling Young\n" + "".join(
+            f"{i:06d}.jpg {1 if i % 2 else -1} {1 if i < 3 else -1}\n"
+            for i in range(6)))
+    ds = ClassImageDataset.from_attributes(src, attr, resolution=16)
+    assert ds.class_names == ["Smiling", "Young"]
+    # attr 0 (Smiling): odd indices; attr 1 (Young): 0..2 — overlap allowed
+    assert len(ds.class_to_paths[0]) == 3
+    assert len(ds.class_to_paths[1]) == 3
+    assert ds.load(ds.class_to_paths[0][0]).shape == (16, 16, 3)
+
+    ident = tmp_path / "ident.txt"
+    ident.write_text("".join(
+        f"{i:06d}.jpg {1 + i // 3}\n" for i in range(6)))
+    di = ClassImageDataset.from_identities(src, ident, resolution=16)
+    assert sorted(di.classes) == [0, 1]
+    assert all(len(di.class_to_paths[c]) == 3 for c in di.classes)
+
+    val, train = di.split_val(0.5)
+    assert len(val.classes) == 1 and len(train.classes) == 1
+    assert set(val.classes) | set(train.classes) == set(di.classes)
+
+
+def test_dataset_category_prefix(tmp_path):
+    """Category = filename prefix (reference from_folder_by_category)."""
+    root = tmp_path / "flat"
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    for cat in ("cat", "dog"):
+        for i in range(3):
+            Image.fromarray(
+                (rng.rand(16, 16, 3) * 255).astype("uint8")).save(
+                root / f"{cat}_{i}.png")
+    ds = ClassImageDataset.from_category_prefix(root, resolution=16)
+    assert len(ds.classes) == 2
+    assert all(len(ds.class_to_paths[c]) == 3 for c in ds.classes)
+
+
+def test_multiset_rotation_and_contrastive(class_folder):
+    """Set-consistent flip/rotation augmentation + contrastive sampling
+    (reference setgan/dataset.py:470-484, :545-566)."""
+    ds = ClassImageDataset.from_folder(class_folder, resolution=32)
+    gen = ImageMultiSetGenerator(ds, batch_size=4, reference_range=(2, 3),
+                                 candidate_range=(1, 2),
+                                 data_augmentation=True, seed=3)
+    batch = gen.sample_batch(contrastive=True)
+    assert batch["contrastive_reference"].shape == batch["reference"].shape
+    # contrastive classes always differ from the element's class
+    assert (batch["contrastive_classes"] != batch["classes"]).all()
+    # masks valid; augmented pixels stay finite and bounded
+    assert np.isfinite(batch["reference"]).all()
+    assert batch["reference"].min() >= -1.001 and batch["reference"].max() <= 1.001
+    # masked-out contrastive slots are zero
+    empty = ~batch["contrastive_mask"]
+    assert np.all(batch["contrastive_reference"][empty] == 0)
+
+
+def test_build_datasets_category_layout(tmp_path):
+    rng = np.random.RandomState(0)
+    for split in ("train", "test"):
+        d = tmp_path / "flowers" / split
+        d.mkdir(parents=True)
+        for cat in ("rose", "iris"):
+            for i in range(2):
+                Image.fromarray(
+                    (rng.rand(8, 8, 3) * 255).astype("uint8")).save(
+                    d / f"{cat}_{i}.png")
+    test, train = build_datasets("flowers", tmp_path, resolution=8)
+    assert len(test.classes) == 2 and len(train.classes) == 2
