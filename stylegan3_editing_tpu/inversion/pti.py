@@ -72,8 +72,15 @@ class PTI:
         variables = dict(self.variables)
         variables["params"] = {**self.variables["params"],
                                "synthesis": synthesis_params}
+        # Reference PTI forces fp32 (run_pti_images.py:130-143) to dodge
+        # fp16 range issues; bf16 has the fp32 exponent so the guard is
+        # unnecessary on TPU — and ≥1024² fp32 grad graphs exceed HBM
+        # (~30 GB: seven ~2.9 GB up-grid temps in L10's backward alone).
+        # Full fp32 stays the default below the flagship resolution.
+        force_fp32 = self.cfg.img_resolution < 1024
         return self.model.apply(variables, codes, transform=transform,
-                                force_fp32=True, method=self.model.synthesize)
+                                force_fp32=force_fp32,
+                                method=self.model.synthesize)
 
     def _losses(self, outputs, targets):
         l2 = jnp.mean(jnp.square(outputs - targets))

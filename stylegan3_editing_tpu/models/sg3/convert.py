@@ -144,23 +144,19 @@ def load_torch_pt(path: str, cfg: SG3Config, strict: bool = True):
     return torch_state_to_variables(np_state, cfg, strict=strict)
 
 
-def load_pkl(path: str, cfg: SG3Config, reference_path: str = "/root/reference",
-             strict: bool = True):
+def load_pkl(path: str, cfg: SG3Config, strict: bool = True):
     """Load an official SG3 `.pkl` (persistence-embedded classes).
 
-    Unpickling needs `torch_utils`/`dnnlib` importable; point
-    ``reference_path`` at a checkout that provides them.
+    Fully standalone: the embedded class source is never executed and the
+    reference checkout is not needed (see `persistence.py`). Legacy TF1
+    pickles convert through the same entry point.
     """
-    import pickle
-    import sys
+    from .persistence import load_network_pkl, state_dict_of
 
-    if reference_path not in sys.path:
-        sys.path.insert(0, reference_path)
-    with open(path, "rb") as f:
-        data = pickle.load(f)
-    g_ema = data["G_ema"] if isinstance(data, dict) else data
-    np_state = {k: v.detach().cpu().numpy() for k, v in g_ema.state_dict().items()}
-    return torch_state_to_variables(np_state, cfg, strict=strict)
+    data = load_network_pkl(path)
+    g_ema = data.get("G_ema", data.get("G"))
+    assert g_ema is not None, "pickle holds no generator"
+    return torch_state_to_variables(state_dict_of(g_ema), cfg, strict=strict)
 
 
 def variables_to_npz(variables: dict, path: str):

@@ -157,3 +157,182 @@ def test_resnet34_body_converter_runs():
     variables = convert_resnet34_body_state(state)
     out = ResNet34Body().apply(variables, jnp.zeros((1, 64, 64, 64)))
     assert out.shape == (1, 8, 8, 512)
+
+
+# ---------------------------------------------- standalone pkl / persistence
+
+def _fake_persistence_modules():
+    """Register dummy `torch_utils.persistence` / `dnnlib` modules so pickle
+    EMITS the same global references an official SG3 .pkl contains — the
+    reader must resolve them without any reference checkout."""
+    import sys
+    import types
+
+    tu = types.ModuleType("torch_utils")
+    pe = types.ModuleType("torch_utils.persistence")
+
+    def _reconstruct_persistent_obj(meta):  # never called by the reader
+        raise AssertionError("reader must not execute reference code")
+
+    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
+    pe._reconstruct_persistent_obj = _reconstruct_persistent_obj
+    tu.persistence = pe
+    dn = types.ModuleType("dnnlib")
+
+    class EasyDict(dict):
+        pass
+
+    dn.EasyDict = EasyDict
+    tfl = types.ModuleType("dnnlib.tflib")
+    tfn = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        pass
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    tfn.Network = Network
+    sys.modules.update({"torch_utils": tu, "torch_utils.persistence": pe,
+                        "dnnlib": dn, "dnnlib.tflib": tfl,
+                        "dnnlib.tflib.network": tfn})
+    return pe, tfn
+
+
+class _FakePersistent:
+    """Pickles exactly like a persistent_class object (reduce → hook)."""
+
+    def __init__(self, meta):
+        self.meta = meta
+
+    def __reduce__(self):
+        import torch_utils.persistence as pe
+        return pe._reconstruct_persistent_obj, (self.meta,)
+
+
+def test_standalone_pkl_reader(tmp_path):
+    """Official-format pickle reads without the reference tree and without
+    executing embedded source (models/stylegan3/legacy.py:25 replacement)."""
+    import pickle
+
+    import torch
+
+    from stylegan3_editing_tpu.models.sg3.persistence import (
+        PersistentStub, load_network_pkl, state_dict_of)
+
+    pe, _ = _fake_persistence_modules()
+    child_meta = dict(
+        type="class", version=6, module_src="raise RuntimeError('boom')",
+        class_name="FullyConnectedLayer",
+        state={"_parameters": {"weight": torch.ones(4, 8),
+                               "bias": torch.zeros(4)},
+               "_buffers": {}, "_modules": {}})
+    meta = dict(
+        type="class", version=6, module_src="raise RuntimeError('boom')",
+        class_name="Generator",
+        state={"_parameters": {},
+               "_buffers": {"w_avg": torch.full((8,), 2.0)},
+               "_modules": {"fc0": _FakePersistent(child_meta)},
+               "_init_kwargs": {"z_dim": 8}})
+    blob = {"G_ema": _FakePersistent(meta), "training_set_kwargs": None}
+    p = tmp_path / "net.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(blob, f)
+
+    data = load_network_pkl(p)
+    g = data["G_ema"]
+    assert isinstance(g, PersistentStub)
+    assert g.class_name == "Generator"
+    assert g.init_kwargs["z_dim"] == 8
+    sd = state_dict_of(g)
+    assert set(sd) == {"w_avg", "fc0.weight", "fc0.bias"}
+    assert sd["fc0.weight"].shape == (4, 8)
+    np.testing.assert_allclose(sd["w_avg"], 2.0)
+
+
+def test_standalone_pkl_rejects_unknown_globals(tmp_path):
+    import pickle
+
+    import pytest
+
+    from stylegan3_editing_tpu.models.sg3.persistence import load_network_pkl
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return os.system, ("true",)
+
+    p = tmp_path / "evil.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"G_ema": Evil()}, f)
+    with pytest.raises(Exception):
+        load_network_pkl(p)
+
+
+def test_tf1_legacy_conversion(tmp_path):
+    """TF1 triple → torch-style networks_stylegan2 state naming
+    (legacy.py:110-208 remap rules: Dense transpose, HWIO→OIHW, up-conv
+    flip, mod_bias + 1)."""
+    import pickle
+
+    from stylegan3_editing_tpu.models.sg3.persistence import (
+        load_network_pkl)
+
+    _fake_persistence_modules()
+    rng = np.random.RandomState(0)
+
+    def tf_net():
+        import dnnlib.tflib.network as n
+
+        variables = [
+            ("dlatent_avg", rng.randn(8).astype(np.float32)),
+            ("mapping/Dense0/weight", rng.randn(8, 8).astype(np.float32)),
+            ("mapping/Dense0/bias", rng.randn(8).astype(np.float32)),
+            ("synthesis/4x4/Const/const",
+             rng.randn(1, 16, 4, 4).astype(np.float32)),
+            ("synthesis/4x4/Conv/weight",
+             rng.randn(3, 3, 16, 16).astype(np.float32)),
+            ("synthesis/4x4/Conv/bias", rng.randn(16).astype(np.float32)),
+            ("synthesis/4x4/Conv/mod_weight",
+             rng.randn(8, 16).astype(np.float32)),
+            ("synthesis/4x4/Conv/mod_bias", rng.randn(16).astype(np.float32)),
+            ("synthesis/4x4/Conv/noise_strength", np.float32(0.5)),
+            ("synthesis/noise0", rng.randn(1, 1, 4, 4).astype(np.float32)),
+            ("synthesis/8x8/Conv0_up/weight",
+             rng.randn(3, 3, 16, 16).astype(np.float32)),
+            ("synthesis/8x8/Conv0_up/bias", rng.randn(16).astype(np.float32)),
+            ("synthesis/8x8/Conv0_up/mod_weight",
+             rng.randn(8, 16).astype(np.float32)),
+            ("synthesis/8x8/Conv0_up/mod_bias",
+             rng.randn(16).astype(np.float32)),
+            ("synthesis/8x8/ToRGB/weight",
+             rng.randn(1, 1, 16, 3).astype(np.float32)),
+            ("synthesis/8x8/ToRGB/bias", rng.randn(3).astype(np.float32)),
+            ("synthesis/8x8/ToRGB/mod_weight",
+             rng.randn(8, 16).astype(np.float32)),
+            ("synthesis/8x8/ToRGB/mod_bias",
+             rng.randn(16).astype(np.float32)),
+        ]
+        obj = n.Network.__new__(n.Network)
+        obj.__dict__.update(
+            {"version": 4, "name": "G",
+             "static_kwargs": {"latent_size": 8, "dlatent_size": 8,
+                               "resolution": 8},
+             "components": {}, "variables": variables})
+        return obj
+
+    p = tmp_path / "tf.pkl"
+    with open(p, "wb") as f:
+        pickle.dump((tf_net(), tf_net(), tf_net()), f)
+
+    data = load_network_pkl(p)
+    sd = data["G_ema"]
+    # Dense transposed to [out, in]
+    assert sd["mapping.fc0.weight"].shape == (8, 8)
+    # conv HWIO→OIHW
+    assert sd["synthesis.b4.conv1.weight"].shape == (16, 16, 3, 3)
+    # up-conv flipped + transposed; mod_bias gained +1
+    assert sd["synthesis.b8.conv0.weight"].shape == (16, 16, 3, 3)
+    assert "synthesis.b8.torgb.affine.bias" in sd
+    assert sd["synthesis.b4.const"].shape == (16, 4, 4)
+    assert sd["synthesis.b4.conv1.noise_const"].shape == (4, 4)
