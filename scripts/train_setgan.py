@@ -49,6 +49,7 @@ class SetGANCliOptions:
     reference_max: int = 12
     candidate_min: int = 1
     candidate_max: int = 4
+    stem: str = "sg3"  # sg3 | sg2 | fastgan (decoder stem)
     glr: float = 0.0025
     dlr: float = 0.002
     ema_kimg: float = 10.0
@@ -154,7 +155,7 @@ def main(opts: SetGANCliOptions):
         total_kimg=opts.total_kimg, batch_size=opts.batch,
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
         tick_kimg=opts.tick_kimg, snapshot_ticks=opts.snapshot_ticks,
-        eval_ticks=opts.eval_ticks, seed=opts.seed,
+        eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
                               pl_weight=opts.pl_weight))

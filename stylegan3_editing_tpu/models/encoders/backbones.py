@@ -66,15 +66,15 @@ def _read_styles(x, n_styles: int):
     return jnp.stack(latents, axis=1)  # [N, n_styles, 512]
 
 
-def _progressive_styles(x, n_styles: int, stage: int):
-    w0 = GradualStyleBlock(512, 16, name="style_0")(x)
+def _progressive_styles(x, n_styles: int, stage: int, style_dim: int = 512):
+    w0 = GradualStyleBlock(style_dim, 16, name="style_0")(x)
     w = jnp.repeat(w0[:, None, :], n_styles, axis=1)
     limit = n_styles if stage == INFERENCE_STAGE else min(stage + 1, n_styles)
     deltas = []
     for i in range(1, n_styles):
         # Materialize every head's params regardless of stage so the param
         # tree is stage-independent; mask unused deltas to zero.
-        delta = GradualStyleBlock(512, 16, name=f"style_{i}")(x)
+        delta = GradualStyleBlock(style_dim, 16, name=f"style_{i}")(x)
         deltas.append(delta if i < limit else jnp.zeros_like(delta))
     if deltas:
         w = w.at[:, 1:].add(jnp.stack(deltas, axis=1))
@@ -111,11 +111,12 @@ class ProgressiveBackboneEncoder(nn.Module):
     num_layers: int = 50
     mode: str = "ir_se"
     n_styles: int = 16
+    style_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False, stage: int = INFERENCE_STAGE):
         feat = _IRSETrunk(self.num_layers, self.mode, name="trunk")(x, train=train)
-        return _progressive_styles(feat, self.n_styles, stage)
+        return _progressive_styles(feat, self.n_styles, stage, self.style_dim)
 
 
 class ResNetProgressiveBackboneEncoder(nn.Module):

@@ -29,6 +29,7 @@ def modulated_conv2d(
     demodulate: bool = True,
     padding: int = 0,
     input_gain: Optional[jax.Array] = None,
+    up: int = 1,
 ) -> jax.Array:
     """Per-sample style-modulated conv over NHWC images.
 
@@ -78,11 +79,15 @@ def modulated_conv2d(
     # No preferred_element_type override: the TPU MXU accumulates bf16
     # matmuls in fp32 internally, and a fp32 output dtype breaks the conv
     # transpose under autodiff (cotangent/operand dtype mismatch).
+    # `up=2`: transpose-conv semantics via input dilation (the reference
+    # SG2/XL up-convs, conv2d_resample.py:47 up path) — out = 2·in + 2·pad
+    # - k + 2; callers follow with the FIR blur to land on the 2× grid.
     x = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(1, 1),
         padding=((padding, padding), (padding, padding)),
+        lhs_dilation=(up, up),
         dimension_numbers=dn,
     )
     if demodulate:

@@ -27,6 +27,35 @@ from ..models.sg3.generator import Generator
 from .set_transformer import SetTransformerDecoder
 
 
+def make_stem(stem: str, cfg: SG3Config):
+    """Decoder stem registry (reference train_setgan.py:324 stem choices):
+    'sg3' (alias-free, default), 'sg2' (NVIDIA-convention StyleGAN2 XL aux
+    net), 'fastgan' (projected-GAN lightweight stem). Returns (module,
+    num_ws); every stem exposes `map`/`synthesize`."""
+    if stem == "sg3":
+        return Generator(cfg), cfg.num_ws
+    if stem == "sg2":
+        from ..models.sg2_stem import SG2Config, SG2Generator
+
+        sg2_cfg = SG2Config(
+            z_dim=cfg.z_dim, w_dim=cfg.w_dim,
+            img_resolution=cfg.img_resolution,
+            img_channels=cfg.img_channels,
+            channel_base=cfg.channel_base, channel_max=cfg.channel_max,
+            use_bf16=cfg.use_bf16, conv_clamp=cfg.conv_clamp)
+        return SG2Generator(sg2_cfg), sg2_cfg.num_ws
+    if stem == "fastgan":
+        from ..models.fastgan import FastGANConfig, FastGANGenerator
+
+        assert cfg.w_dim == cfg.z_dim, \
+            "fastgan stem has no mapping net: w_dim must equal z_dim"
+        fg_cfg = FastGANConfig(z_dim=cfg.z_dim,
+                               img_resolution=cfg.img_resolution,
+                               img_channels=cfg.img_channels)
+        return FastGANGenerator(fg_cfg), fg_cfg.num_ws
+    raise ValueError(f"unknown stem {stem!r}")
+
+
 def to_images(x: jax.Array) -> jax.Array:
     """[B, S, ...] → [B·S, ...]."""
     return x.reshape((-1,) + x.shape[2:])
@@ -106,6 +135,7 @@ class SetGAN(nn.Module):
     """Encoder + StyleAttention + alias-free decoder over sets."""
 
     decoder_cfg: SG3Config
+    stem: str = "sg3"
     n_heads: int = 4
     attn_layers: int = 2
     mean_center: bool = True
@@ -114,11 +144,11 @@ class SetGAN(nn.Module):
     disable_style_concat: bool = False
 
     def setup(self):
-        self.decoder = Generator(self.decoder_cfg)
+        self.decoder, self._num_ws = make_stem(self.stem, self.decoder_cfg)
         self.encoder = ProgressiveBackboneEncoder(
-            n_styles=self.decoder_cfg.num_ws)
+            n_styles=self._num_ws, style_dim=self.decoder_cfg.w_dim)
         self.style_attn = StyleAttention(
-            n_styles=self.decoder_cfg.num_ws,
+            n_styles=self._num_ws,
             latent=self.decoder_cfg.w_dim,
             n_heads=self.n_heads,
             attn_layers=self.attn_layers,
@@ -128,7 +158,7 @@ class SetGAN(nn.Module):
 
     @property
     def n_styles(self) -> int:
-        return self.decoder_cfg.num_ws
+        return self._num_ws
 
     def __call__(
         self,

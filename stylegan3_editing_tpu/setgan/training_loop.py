@@ -66,6 +66,9 @@ class SetGANTrainConfig:
     # lightweight in-repo fallback).
     d_backbones: tuple = ("deit_base_distilled_patch16_224",
                           "tf_efficientnet_lite0")
+    # Decoder stem: 'sg3' (alias-free), 'sg2' (XL aux SG2), 'fastgan'
+    # (reference train_setgan.py:324 stem selection).
+    stem: str = "sg3"
     # Encoder reference resolution (reference fixes 256; smaller values give
     # cheap CPU dryruns of the full step graph).
     ref_resolution: int = 256
@@ -91,7 +94,9 @@ class SetGANTrainer:
         self.best_fid: Optional[float] = None
 
         rng = jax.random.PRNGKey(cfg.seed)
-        self.G = SetGAN(decoder_cfg)
+        # FastGAN has no mapping net / w_avg → no mean-centering.
+        self.G = SetGAN(decoder_cfg, stem=cfg.stem,
+                        mean_center=cfg.stem != "fastgan")
         self.D = ProjectedSetDiscriminator(
             backbones=tuple(cfg.d_backbones), interp224=cfg.d_interp224,
             latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs)
@@ -111,7 +116,9 @@ class SetGANTrainer:
         self.d_vars = jax.jit(self.D.init)(jax.random.PRNGKey(cfg.seed + 1),
                                            r0, c0)
 
-        self.latent_avg = self.g_vars["ema"]["decoder"]["mapping"]["w_avg"]
+        self.latent_avg = (
+            self.g_vars["ema"]["decoder"]["mapping"]["w_avg"]
+            if cfg.stem != "fastgan" else jnp.zeros((decoder_cfg.w_dim,)))
         self.g_ema_params = jax.tree_util.tree_map(jnp.copy,
                                                    self.g_vars["params"])
         self.pl_mean = jnp.zeros(())

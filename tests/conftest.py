@@ -35,8 +35,18 @@ try:
         _flags = next((l for l in f if l.startswith("flags")), "")
 except OSError:
     _flags = ""
+# Boot id keys the cache to THIS machine instance: XLA:CPU AOT blobs encode
+# compile-host CPU features (incl. tuning prefs like +prefer-no-gather that
+# cpuinfo flags do NOT capture), and loading a foreign blob silently
+# computes garbage or SIGILLs.
+try:
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        _boot = f.read().strip()
+except OSError:
+    _boot = ""
 _machine_key = hashlib.sha1(
-    (platform.machine() + _flags).encode()).hexdigest()[:12]
+    (platform.machine() + platform.node() + _boot + _flags).encode()
+).hexdigest()[:12]
 jax.config.update("jax_compilation_cache_dir",
                   f"/tmp/sg3tpu_jax_cache_{_machine_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -100,3 +100,108 @@ def test_pallas_fir_interpret_matches_conv():
     b = fir_resample_pallas(x, f, (2, 2), (1, 1), (6, 5, 6, 5), False, 4.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------- XL aux stems (SG2 / FastGAN)
+
+def test_sg2_stem_forward_and_converter():
+    """NVIDIA-convention SG2 generator (XL aux net): forward shapes, w_avg
+    EMA, torch-state converter key-map round-trip (reference
+    models/styleganxl/training/networks_stylegan2.py)."""
+    from stylegan3_editing_tpu.models.sg2_stem import (
+        SG2Config, SG2Generator, convert_sg2_state)
+
+    cfg = SG2Config(z_dim=32, w_dim=32, img_resolution=32, channel_base=512,
+                    channel_max=64, mapping_layers=2, use_bf16=False)
+    model = SG2Generator(cfg)
+    z = jnp.zeros((2, 32))
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), z)
+    img = model.apply(v, z)
+    assert img.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+    ws = model.apply(v, z, method=model.map)
+    assert ws.shape == (2, cfg.num_ws, 32)
+    img2 = model.apply(v, ws, method=model.synthesize)
+    assert img2.shape == (2, 32, 32, 3)
+
+    # EMA update path
+    _, mut = model.apply(v, jnp.ones((2, 32)), update_emas=True,
+                         mutable=["ema"])
+    assert float(jnp.abs(mut["ema"]["mapping"]["w_avg"]).sum()) > 0
+
+    # Converter: fabricate a torch-style state dict from init shapes.
+    rng = np.random.RandomState(0)
+    state = {"mapping.w_avg": rng.randn(32).astype(np.float32)}
+    for i in range(cfg.mapping_layers):
+        state[f"mapping.fc{i}.weight"] = rng.randn(32, 32).astype(np.float32)
+        state[f"mapping.fc{i}.bias"] = rng.randn(32).astype(np.float32)
+    for res in cfg.block_resolutions:
+        ch = cfg.channels(res)
+        in_ch = cfg.channels(max(res // 2, 4))
+        b = f"synthesis.b{res}"
+        if res == 4:
+            state[f"{b}.const"] = rng.randn(ch, 4, 4).astype(np.float32)
+            convs = [("conv1", ch, ch)]
+        else:
+            convs = [("conv0", in_ch, ch), ("conv1", ch, ch)]
+        for cname, ci, co in convs:
+            state[f"{b}.{cname}.weight"] = rng.randn(co, ci, 3, 3).astype(np.float32)
+            state[f"{b}.{cname}.bias"] = rng.randn(co).astype(np.float32)
+            state[f"{b}.{cname}.noise_strength"] = np.float32(0.1)
+            state[f"{b}.{cname}.affine.weight"] = rng.randn(ci, 32).astype(np.float32)
+            state[f"{b}.{cname}.affine.bias"] = rng.randn(ci).astype(np.float32)
+        state[f"{b}.torgb.weight"] = rng.randn(3, ch, 1, 1).astype(np.float32)
+        state[f"{b}.torgb.bias"] = rng.randn(3).astype(np.float32)
+        state[f"{b}.torgb.affine.weight"] = rng.randn(ch, 32).astype(np.float32)
+        state[f"{b}.torgb.affine.bias"] = rng.randn(ch).astype(np.float32)
+
+    cv = convert_sg2_state(state, cfg)
+    got = jax.tree_util.tree_structure(cv["params"])
+    want = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda x: 0, dict(v["params"])))
+    assert got == want, f"{got}\n!=\n{want}"
+    img3 = model.apply({"params": cv["params"], "ema": {"mapping": {"w_avg": cv["ema"]["mapping"]["w_avg"]}}}, z)
+    assert np.isfinite(np.asarray(img3)).all()
+
+
+def test_fastgan_stem_forward():
+    """FastGAN stem: forward shapes incl. skip-layer excitation
+    (reference networks_fastgan.py:21-84)."""
+    from stylegan3_editing_tpu.models.fastgan import (
+        FastGANConfig, FastGANGenerator)
+
+    cfg = FastGANConfig(z_dim=16, img_resolution=64, ngf=16)
+    model = FastGANGenerator(cfg)
+    z = jnp.zeros((2, 16))
+    v = model.init(jax.random.PRNGKey(0), z,
+                   method=lambda m, z: m.synthesize(m.map(z)))
+    img = model.apply(v, z, method=lambda m, z: m.synthesize(m.map(z)))
+    assert img.shape == (2, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    # lite variant
+    cfg_l = FastGANConfig(z_dim=16, img_resolution=32, ngf=16, lite=True)
+    ml = FastGANGenerator(cfg_l)
+    vl = ml.init(jax.random.PRNGKey(0), z,
+                 method=lambda m, z: m.synthesize(m.map(z)))
+    assert ml.apply(vl, z, method=lambda m, z: m.synthesize(m.map(z))).shape \
+        == (2, 32, 32, 3)
+
+
+def test_setgan_alternate_stems():
+    """SG2 and FastGAN stems plug into the SetGAN model
+    (reference train_setgan.py:324 stem selection)."""
+    from stylegan3_editing_tpu.models.sg3 import SG3Config
+    from stylegan3_editing_tpu.setgan.model import SetGAN
+
+    cfg = SG3Config(img_resolution=32, channel_base=512, channel_max=32,
+                    z_dim=32, w_dim=32, num_layers=4, num_critical=2,
+                    use_bf16=False)
+    for stem in ("sg2", "fastgan"):
+        model = SetGAN(cfg, stem=stem)
+        x = jnp.zeros((1, 2, 64, 64, 3))
+        z = jnp.zeros((1, 1, 32))
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x, z,
+                                latent_avg=jnp.zeros((32,)))
+        imgs = model.apply(v, x, z, latent_avg=jnp.zeros((32,)))
+        assert imgs.shape == (1, 1, 32, 32, 3), stem

@@ -1,6 +1,8 @@
 """SetGAN stack tests: set transformer masking, model, discriminator,
 DiffAugment, loss, data sampling, FID, one full train step."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -448,3 +450,24 @@ def test_build_datasets_category_layout(tmp_path):
                     d / f"{cat}_{i}.png")
     test, train = build_datasets("flowers", tmp_path, resolution=8)
     assert len(test.classes) == 2 and len(train.classes) == 2
+
+
+def test_trainer_fastgan_stem(class_folder, tmp_path):
+    """The FastGAN stem drives a full SetGAN G+D train step
+    (reference train_setgan.py:324 aux-stem selection)."""
+    cfg = SetGANTrainConfig(batch_size=2, stem="fastgan",
+                            d_backbones=("vgg16_proj",), ref_resolution=64,
+                            d_interp224=False, d_latent_size=64,
+                            d_num_discs=2)
+    from stylegan3_editing_tpu.parallel import create_mesh
+    dcfg = tiny_cfg()
+    dcfg = dataclasses.replace(dcfg, z_dim=dcfg.w_dim)
+    mesh = create_mesh(devices=jax.devices()[:2])
+    trainer = SetGANTrainer(cfg, dcfg, mesh=mesh, run_dir=str(tmp_path))
+    ds = ClassImageDataset.from_folder(class_folder, resolution=32)
+    gen = ImageMultiSetGenerator(ds, batch_size=2, reference_range=(2, 3),
+                                 candidate_range=(1, 2), seed=0)
+    batch = gen.sample_batch()
+    batch["reference"] = batch["reference"][:, :, ::2, ::2]  # 16² refs? no-op ok
+    m = trainer.train_step(gen.sample_batch())
+    assert np.isfinite(m["Loss/G/loss"]) and np.isfinite(m["Loss/D/loss"])
