@@ -375,7 +375,15 @@ class SetGANTrainer:
         tick_nimg = cfg.tick_kimg * 1000
         next_tick = tick_nimg
         t_start = t_tick = time.time()
+        writer = grid_refs = None
+        if self.run_dir:
+            from ..runtime.events import EventWriter
+            writer = EventWriter(self.run_dir)
         for batch in data:
+            if grid_refs is None:
+                # Fixed reference sets for the recurring sample grid
+                # (reference setgan/training_loop.py:315-346).
+                grid_refs = np.asarray(batch["reference"][:4])
             metrics = self.train_step(batch)
             if self.cur_nimg >= next_tick or self.cur_nimg >= total_nimg:
                 now = time.time()
@@ -404,9 +412,19 @@ class SetGANTrainer:
                         self.best_fid = fid
                         if self.run_dir:
                             self.snapshot(self.run_dir / "best_model")
+                if writer is not None:
+                    writer.scalars(entry, step=self.cur_nimg)
                 if self.run_dir and self.cur_tick % cfg.snapshot_ticks == 0:
                     self.snapshot(self.run_dir /
                                   f"snapshot_{self.cur_nimg // 1000:06d}")
+                    from ..runtime.events import save_image_grid
+                    fakes = self.generate(grid_refs, num_candidates=4)
+                    grid = save_image_grid(
+                        fakes.reshape((-1,) + fakes.shape[2:]),
+                        self.run_dir /
+                        f"fakes_{self.cur_nimg // 1000:06d}.png", cols=4)
+                    if writer is not None:
+                        writer.image("fakes", grid, step=self.cur_nimg)
                 self.cur_tick += 1
                 t_tick = time.time()
                 next_tick += tick_nimg

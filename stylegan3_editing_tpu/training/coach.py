@@ -409,6 +409,10 @@ class Coach:
         start = time.time()
         log_path = Path(opts.exp_dir) / "stats.jsonl"
         log_path.parent.mkdir(parents=True, exist_ok=True)
+        # TensorBoard events + recurring source/reconstruction grids
+        # (reference coach_restyle_psp.py:277-319 parse_and_log_images).
+        from ..runtime.events import EventWriter, save_image_grid
+        writer = EventWriter(Path(opts.exp_dir) / "logs")
         for batch in train_iter:
             metrics = self.train_step(batch)
             if self.global_step % opts.board_interval == 0:
@@ -416,6 +420,20 @@ class Coach:
                          "time": round(time.time() - start, 2), **metrics}
                 with open(log_path, "a") as f:
                     f.write(json.dumps(entry) + "\n")
+                writer.scalars(metrics, step=self.global_step)
+            if opts.image_interval and \
+                    self.global_step % opts.image_interval == 0:
+                x = np.asarray(batch[0][:4])
+                y = np.asarray(batch[1][:4])
+                outputs, _ = self._restyle_forward(
+                    self.variables, (jnp.asarray(x), jnp.asarray(y)),
+                    train=False, stage=self._current_stage())
+                y_hat = np.asarray(outputs[-1][0])
+                grid = save_image_grid(
+                    np.concatenate([x, y_hat]),
+                    Path(opts.exp_dir) / "logs" /
+                    f"images_{self.global_step:06d}.png", cols=4)
+                writer.image("reconstructions", grid, step=self.global_step)
             if val_batches_fn and self.global_step % opts.val_interval == 0:
                 val = self.validate(val_batches_fn())
                 if self.best_val_loss is None or val.get("loss", np.inf) < self.best_val_loss:

@@ -51,10 +51,23 @@ def tensor2im(var) -> Image.Image:
 
 
 def generate_mp4(out_name, images: Sequence, kwargs: dict) -> None:
-    """Write a list of PIL/np images to `<out_name>.mp4`."""
+    """Write a list of PIL/np images to `<out_name>.mp4`.
+
+    Environments without an ffmpeg backend (imageio[ffmpeg] not installed)
+    fall back to a `<out_name>_frames/` PNG sequence — same content,
+    assemblable offline."""
     import imageio
 
-    writer = imageio.get_writer(str(out_name) + ".mp4", **kwargs)
+    try:
+        writer = imageio.get_writer(str(out_name) + ".mp4", **kwargs)
+    except (ValueError, ImportError):
+        from pathlib import Path
+
+        frame_dir = Path(str(out_name) + "_frames")
+        frame_dir.mkdir(parents=True, exist_ok=True)
+        for i, image in enumerate(images):
+            imageio.imwrite(frame_dir / f"{i:06d}.png", np.array(image))
+        return
     for image in images:
         writer.append_data(np.array(image))
     writer.close()

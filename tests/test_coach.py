@@ -69,6 +69,7 @@ def test_latent_discriminator_and_pool():
 
 # -------------------------------------------------------------- pSp coach
 
+@pytest.mark.slow
 def test_psp_coach_steps_and_checkpoint(tmp_path):
     opts = TrainOptions(
         exp_dir=str(tmp_path), batch_size=2, effective_batch_size=4,
@@ -104,6 +105,7 @@ def test_psp_coach_steps_and_checkpoint(tmp_path):
 
 # -------------------------------------------------------------- e4e coach
 
+@pytest.mark.slow
 def test_e4e_coach_with_discriminator_and_progressive(tmp_path):
     opts = E4eTrainOptions(
         exp_dir=str(tmp_path), batch_size=2, effective_batch_size=2,

@@ -201,3 +201,76 @@ def test_mapper_coach_step(gen):
     m1 = coach.train_step(w)
     m2 = coach.train_step(w)
     assert np.isfinite(m1["loss"]) and m2["loss"] <= m1["loss"] * 1.5
+
+
+# ------------------------------------------------ gen_utils / spectrum
+
+def test_slerp_lerp_paths():
+    """Interpolation helpers (reference gen_utils.py:175-230)."""
+    import numpy as np
+
+    from stylegan3_editing_tpu.utils.gen_utils import (
+        interpolation_path, lerp, slerp)
+
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    t = np.array([0.0, 0.5, 1.0])
+    l = np.asarray(lerp(a, b, t))
+    np.testing.assert_allclose(l[0], a, atol=1e-6)
+    np.testing.assert_allclose(l[-1], b, atol=1e-6)
+    s = np.asarray(slerp(a, b, t))
+    np.testing.assert_allclose(s[0], a, atol=1e-5)
+    np.testing.assert_allclose(s[-1], b, atol=1e-5)
+    # slerp midpoint keeps unit norm on the sphere (lerp shrinks to ~0.707)
+    assert abs(np.linalg.norm(s[1]) - 1.0) < 1e-5
+    # near-parallel fallback
+    sp = np.asarray(slerp(a, a, t))
+    assert np.isfinite(sp).all()
+
+    keys = np.stack([a, b, a])
+    path = np.asarray(interpolation_path(jnp.asarray(keys), 4, mode="slerp"))
+    assert path.shape == (9, 3)
+    np.testing.assert_allclose(path[-1], a, atol=1e-5)
+
+
+def test_spectrum_tools():
+    """FFT spectrum analysis (reference utils_spectrum.py:5-155): a pure
+    sinusoid concentrates azimuthal power at its frequency radius."""
+    import numpy as np
+
+    from stylegan3_editing_tpu.utils.spectrum import (
+        azimuthal_average, power_spectrum, spectrum_stats)
+
+    n, size, k = 2, 64, 8
+    x = np.arange(size)
+    img = np.sin(2 * np.pi * k * x / size)[None, None, :] * np.ones(
+        (n, size, 1))
+    power = power_spectrum(jnp.asarray(img), normalize=True)
+    assert power.shape == (n, size, size)
+    prof = np.asarray(azimuthal_average(power))
+    peak = int(np.argmax(prof[0]))
+    assert abs(peak - k) <= 1, f"power peak at radius {peak}, expected ~{k}"
+    stats = spectrum_stats(jnp.asarray(img))
+    assert stats["mean"].shape == stats["std"].shape
+    assert np.isfinite(np.asarray(stats["mean"])).all()
+
+
+def test_interpolation_video(tmp_path):
+    """End-to-end seed interpolation video through a slim generator
+    (reference gen_utils video helpers)."""
+    from stylegan3_editing_tpu.models.sg3 import Generator, sg3_r_config
+    from stylegan3_editing_tpu.utils.gen_utils import interpolation_video
+
+    cfg = sg3_r_config(32, channel_base=512, channel_max=32, num_layers=4,
+                       use_bf16=False)
+    model = Generator(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.z_dim)))
+    out = tmp_path / "interp"
+    n = interpolation_video(model, variables, seeds=[0, 1], out_path=str(out),
+                            frames_per_segment=3, batch=4)
+    mp4 = tmp_path / "interp.mp4"
+    frames_dir = tmp_path / "interp_frames"
+    assert n == 4
+    assert (mp4.exists() and mp4.stat().st_size > 0) or \
+        (frames_dir.exists() and len(list(frames_dir.glob("*.png"))) == 4)

@@ -188,6 +188,7 @@ def test_fastgan_stem_forward():
         == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_setgan_alternate_stems():
     """SG2 and FastGAN stems plug into the SetGAN model
     (reference train_setgan.py:324 stem selection)."""

@@ -62,6 +62,7 @@ def test_tensor_parallel_weights_sharded_and_correct():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

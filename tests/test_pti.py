@@ -23,6 +23,7 @@ def setup():
     return cfg, model, variables, ws, targets
 
 
+@pytest.mark.slow
 def test_pti_batched_improves_l2(setup):
     cfg, model, variables, ws, targets = setup
     # Pivot: perturbed latents → imperfect reconstruction to tune away.
@@ -62,6 +63,7 @@ def test_pti_early_stop_freezes(setup):
     assert bool(np.all(metrics["converged"]))
 
 
+@pytest.mark.slow
 def test_pti_shared_video_mode(setup):
     cfg, model, variables, ws, targets = setup
     pivot = ws + 0.3 * jax.random.normal(jax.random.PRNGKey(3), ws.shape)

@@ -62,6 +62,7 @@ def _our_model_and_vars(ref_generator, **cfg_overrides):
     return Generator(cfg), variables
 
 
+@pytest.mark.slow
 def test_full_generator_parity(ref_generator):
     torch, g = ref_generator
     model, variables = _our_model_and_vars(ref_generator)
@@ -106,6 +107,7 @@ def test_w2s_parity(ref_generator):
                                    rtol=1e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_synthesis_with_transform_parity(ref_generator):
     """Writing `synthesis.input.transform` in torch == passing transform here."""
     torch, g = ref_generator

@@ -227,6 +227,7 @@ def test_fid_math():
 
 # -------------------------------------------------------------- train step
 
+@pytest.mark.slow
 def test_setgan_train_step(class_folder, tmp_path):
     from stylegan3_editing_tpu.parallel import create_mesh
     # ada_target=-2 guarantees sign(E[sign(real)] - target) > 0, so the
@@ -343,6 +344,7 @@ def test_inception_features_and_converter():
     assert np.allclose(f1, f2)
 
 
+@pytest.mark.slow
 def test_train_setgan_fid_eval_path(class_folder, tmp_path):
     """CLI FID eval: InceptionV3 pool3 features drive ConditionalFID from a
     live trainer (reference in-loop eval, setgan/training_loop.py:590-615 +
@@ -452,6 +454,7 @@ def test_build_datasets_category_layout(tmp_path):
     assert len(test.classes) == 2 and len(train.classes) == 2
 
 
+@pytest.mark.slow
 def test_trainer_fastgan_stem(class_folder, tmp_path):
     """The FastGAN stem drives a full SetGAN G+D train step
     (reference train_setgan.py:324 aux-stem selection)."""

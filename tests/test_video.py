@@ -117,6 +117,7 @@ def test_video_config_edit_parsing():
 
 # ---------------------------------------------------------- video editor
 
+@pytest.mark.slow
 def test_interfacegan_video_editor(tmp_path):
     cfg = SG3Config(img_resolution=32, channel_base=512, channel_max=32,
                     num_layers=4, num_critical=2, use_bf16=False)
