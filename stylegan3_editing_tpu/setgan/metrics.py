@@ -48,6 +48,31 @@ class FeatureStats:
         cov = self._outer / self.num - np.outer(mu, mu)
         return mu, cov
 
+    def sync_across_hosts(self) -> "FeatureStats":
+        """Sum the accumulated moments over all JAX processes.
+
+        TPU-native equivalent of the reference's cross-rank feature gather
+        (metric_utils.py:162-173 `append_torch` all_gather): instead of
+        gathering raw features, the sufficient statistics (count, Σx, Σxxᵀ)
+        are all-reduced once — O(D²) traffic instead of O(N·D). No-op in a
+        single-process run."""
+        import jax
+
+        if jax.process_count() == 1 or self._sum is None:
+            return self
+        from jax.experimental import multihost_utils
+
+        packed = np.concatenate(
+            [np.array([self.num], np.float64), self._sum,
+             self._outer.reshape(-1)])
+        gathered = np.asarray(
+            multihost_utils.process_allgather(packed))  # [P, ...]
+        total = gathered.sum(axis=0)
+        self.num = int(total[0])
+        self._sum = total[1:1 + self.dim]
+        self._outer = total[1 + self.dim:].reshape(self.dim, self.dim)
+        return self
+
 
 def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     """FID between two Gaussians (scipy sqrtm on host)."""
@@ -82,6 +107,9 @@ class ConditionalFID:
         self._append(self.fake, cls, images)
 
     def compute(self, mode: str = "agg") -> float:
+        for store in (self.real, self.fake):
+            for stats in store.values():
+                stats.sync_across_hosts()
         classes = sorted(set(self.real) & set(self.fake))
         assert classes, "no overlapping classes with stats"
         if mode == "sfid":

@@ -474,3 +474,17 @@ def test_trainer_fastgan_stem(class_folder, tmp_path):
     batch["reference"] = batch["reference"][:, :, ::2, ::2]  # 16² refs? no-op ok
     m = trainer.train_step(gen.sample_batch())
     assert np.isfinite(m["Loss/G/loss"]) and np.isfinite(m["Loss/D/loss"])
+
+
+def test_feature_stats_host_sync_single_process():
+    """sync_across_hosts is a correct no-op single-process and preserves
+    moments (multi-host path: one psum of (count, Σx, Σxxᵀ) instead of the
+    reference's raw-feature gather, metric_utils.py:162-173)."""
+    rng = np.random.RandomState(0)
+    s = FeatureStats()
+    s.append(rng.randn(10, 4))
+    mu0, cov0 = s.get_mean_cov()
+    s.sync_across_hosts()
+    mu1, cov1 = s.get_mean_cov()
+    np.testing.assert_allclose(mu0, mu1)
+    np.testing.assert_allclose(cov0, cov1)
