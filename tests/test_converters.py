@@ -164,7 +164,10 @@ def test_resnet34_body_converter_runs():
 def _fake_persistence_modules():
     """Register dummy `torch_utils.persistence` / `dnnlib` modules so pickle
     EMITS the same global references an official SG3 .pkl contains — the
-    reader must resolve them without any reference checkout."""
+    reader must resolve them without any reference checkout.
+
+    The fakes MUST be cleaned up (see `_cleanup_fake_modules`): other tests
+    import the real reference checkout under the same module names."""
     import sys
     import types
 
@@ -199,6 +202,21 @@ def _fake_persistence_modules():
     return pe, tfn
 
 
+@pytest.fixture()
+def fake_persistence_modules():
+    import sys
+
+    saved = {k: sys.modules.get(k)
+             for k in ("torch_utils", "torch_utils.persistence", "dnnlib",
+                       "dnnlib.tflib", "dnnlib.tflib.network")}
+    yield _fake_persistence_modules()
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+
+
 class _FakePersistent:
     """Pickles exactly like a persistent_class object (reduce → hook)."""
 
@@ -210,7 +228,7 @@ class _FakePersistent:
         return pe._reconstruct_persistent_obj, (self.meta,)
 
 
-def test_standalone_pkl_reader(tmp_path):
+def test_standalone_pkl_reader(tmp_path, fake_persistence_modules):
     """Official-format pickle reads without the reference tree and without
     executing embedded source (models/stylegan3/legacy.py:25 replacement)."""
     import pickle
@@ -220,7 +238,6 @@ def test_standalone_pkl_reader(tmp_path):
     from stylegan3_editing_tpu.models.sg3.persistence import (
         PersistentStub, load_network_pkl, state_dict_of)
 
-    pe, _ = _fake_persistence_modules()
     child_meta = dict(
         type="class", version=6, module_src="raise RuntimeError('boom')",
         class_name="FullyConnectedLayer",
@@ -269,7 +286,7 @@ def test_standalone_pkl_rejects_unknown_globals(tmp_path):
         load_network_pkl(p)
 
 
-def test_tf1_legacy_conversion(tmp_path):
+def test_tf1_legacy_conversion(tmp_path, fake_persistence_modules):
     """TF1 triple → torch-style networks_stylegan2 state naming
     (legacy.py:110-208 remap rules: Dense transpose, HWIO→OIHW, up-conv
     flip, mod_bias + 1)."""
@@ -278,7 +295,6 @@ def test_tf1_legacy_conversion(tmp_path):
     from stylegan3_editing_tpu.models.sg3.persistence import (
         load_network_pkl)
 
-    _fake_persistence_modules()
     rng = np.random.RandomState(0)
 
     def tf_net():
