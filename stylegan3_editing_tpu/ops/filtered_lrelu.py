@@ -82,18 +82,48 @@ def filtered_lrelu(
         # One-kernel VMEM path (ops/pallas_flrelu.py): the ×u intermediate
         # grid never touches HBM. Falls through to the composition when the
         # config is outside the kernel's envelope (e.g. the filterless
-        # ToRGB layer, odd down factors).
+        # ToRGB layer, odd down factors). Differentiable: a custom VJP runs
+        # the fused kernel forward and the composition's autodiff backward
+        # (fused grads fall out of the same composed graph under remat).
         from .pallas_flrelu import fused_filtered_lrelu
+
+        from .fir import _separate_2d
 
         fu_np = fu if (fu is None or isinstance(fu, np.ndarray)) else None
         fd_np = fd if (fd is None or isinstance(fd, np.ndarray)) else None
-        if fu_np is not None and fd_np is not None:
-            out = fused_filtered_lrelu(
-                x, fu_np, fd_np, b, up, down, (px0, px1, py0, py1),
-                gain=gain, slope=slope, clamp=clamp)
-            if out is not None:
-                assert out.shape == (batch, out_h, out_w, channels)
+        supported = (
+            fu_np is not None and fd_np is not None
+            and down == 2 and up in (2, 4) and np.ndim(fu_np) == 1
+            and (np.ndim(fd_np) == 1
+                 or _separate_2d(np.asarray(fd_np)[::-1, ::-1]) is not None))
+        if supported:
+            def composed(xc, bc):
+                return filtered_lrelu(
+                    xc, fu=fu_np, fd=fd_np, b=bc, up=up, down=down,
+                    padding=padding, gain=gain, slope=slope, clamp=clamp,
+                    flip_filter=flip_filter, impl="xla")
+
+            @jax.custom_vjp
+            def fused_op(xc, bc):
+                out = fused_filtered_lrelu(
+                    xc, fu_np, fd_np, bc, up, down, (px0, px1, py0, py1),
+                    gain=gain, slope=slope, clamp=clamp)
+                assert out is not None
                 return out
+
+            def fwd(xc, bc):
+                return fused_op(xc, bc), (xc, bc)
+
+            def bwd(res, dy):
+                xc, bc = res
+                _, vjp_fn = jax.vjp(composed, xc, bc)
+                return vjp_fn(dy)
+
+            fused_op.defvjp(fwd, bwd)
+            out = fused_op(x, b if b is not None
+                           else jnp.zeros((channels,), jnp.float32))
+            assert out.shape == (batch, out_h, out_w, channels)
+            return out
 
     x = bias_act(x=x, b=b)
     x = upfirdn2d(

@@ -22,31 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compile cache: the suite re-jits many small convs; caching
-# across runs keeps `pytest -q` fast. The dir is keyed by the host's CPU
-# feature set — XLA:CPU AOT blobs are machine-specific, and loading a blob
-# compiled on a different host silently computes garbage (observed: cached
-# kernels with AVX-512 features missing on the execution host).
-import hashlib  # noqa: E402
-import platform  # noqa: E402
-
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next((l for l in f if l.startswith("flags")), "")
-except OSError:
-    _flags = ""
-# Boot id keys the cache to THIS machine instance: XLA:CPU AOT blobs encode
-# compile-host CPU features (incl. tuning prefs like +prefer-no-gather that
-# cpuinfo flags do NOT capture), and loading a foreign blob silently
-# computes garbage or SIGILLs.
-try:
-    with open("/proc/sys/kernel/random/boot_id") as f:
-        _boot = f.read().strip()
-except OSError:
-    _boot = ""
-_machine_key = hashlib.sha1(
-    (platform.machine() + platform.node() + _boot + _flags).encode()
-).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/sg3tpu_jax_cache_{_machine_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Persistent compile cache: OPT-IN ONLY (SG3TPU_TEST_CACHE=1). XLA:CPU AOT
+# blobs encode the compile host's CPU features (incl. tuning prefs like
+# +prefer-no-gather that cpuinfo flags do NOT capture); /tmp on this infra
+# is shared across machines with DIFFERENT CPUs — neither cpuinfo-flag nor
+# boot-id keying isolated them (observed: SIGABRT inside ThunkExecutor when
+# a foreign blob loads). Cold compiles are slower but always correct.
+if os.environ.get("SG3TPU_TEST_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sg3tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
