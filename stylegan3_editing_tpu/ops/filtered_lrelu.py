@@ -63,7 +63,11 @@ def filtered_lrelu(
     assert x.ndim == 4, "expected NHWC input"
     if impl == "auto":
         import os
-        impl = os.environ.get("SG3TPU_FLRELU_IMPL", "xla")
+        # TPU default: the fused one-kernel path (fastest measured,
+        # differentiable via its composition-backed VJP). SG3TPU_FLRELU_IMPL
+        # overrides ('xla' = composed ops).
+        default = "fused" if jax.default_backend() == "tpu" else "xla"
+        impl = os.environ.get("SG3TPU_FLRELU_IMPL", default)
     assert impl in ("xla", "pallas", "auto", "fused")
     assert isinstance(up, int) and up >= 1
     assert isinstance(down, int) and down >= 1

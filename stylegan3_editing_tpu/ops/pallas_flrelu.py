@@ -24,19 +24,17 @@ Design (TPU-first, not a CUDA translation):
 - fp32 tap arithmetic regardless of input dtype (parity with the reference
   kernel's internal fp32 accumulation).
 
-Differentiable via a custom VJP: the backward is the SAME kernel shape with
-the roles of up/down swapped — recompute the pre-activation planes from the
-saved input (cheap, VMEM-local), multiply the incoming cotangent's up-FIR
-(adjoint of down-FIR) by the activation derivative, then apply the adjoint
-of the up-FIR (a stride-u down-FIR). Bias grad is a reduction on the input
-cotangent handled outside.
+Differentiation: the kernel itself is forward-only; `ops.filtered_lrelu`
+wraps it in a custom VJP whose backward differentiates the composed XLA
+path (exact same math). A fully fused backward kernel (same phase-plane
+shape with up/down roles swapped, pre-activation recomputed per tile in
+VMEM) is the natural next optimization.
 """
 
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
