@@ -64,9 +64,24 @@ def test_tensor_parallel_weights_sharded_and_correct():
 
 @pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry", "/root/repo/__graft_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    """Full SetGAN G+D train step on the 8-device mesh — in a SUBPROCESS:
+    the step graph is the suite's biggest compile, and running it inside a
+    long pytest process aborts on allocation (the standalone run passes)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import importlib.util;"
+         "spec = importlib.util.spec_from_file_location("
+         "'graft_entry', '/root/repo/__graft_entry__.py');"
+         "m = importlib.util.module_from_spec(spec);"
+         "spec.loader.exec_module(m);"
+         "m.dryrun_multichip(8)"],
+        env=env, capture_output=True, text=True, timeout=2700)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "one SetGAN G+D train step OK" in out.stdout
