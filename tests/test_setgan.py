@@ -488,3 +488,25 @@ def test_feature_stats_host_sync_single_process():
     mu1, cov1 = s.get_mean_cov()
     np.testing.assert_allclose(mu0, mu1)
     np.testing.assert_allclose(cov0, cov1)
+
+
+@pytest.mark.slow
+def test_trainer_tick_events_and_grid(class_folder, tmp_path):
+    """The tick loop writes stats.jsonl, TensorBoard events, and a fake-
+    sample grid (reference training_loop.py:315-362 observability)."""
+    from stylegan3_editing_tpu.parallel import create_mesh
+    cfg = SetGANTrainConfig(batch_size=2, tick_kimg=0.002, snapshot_ticks=1,
+                            eval_ticks=10, d_backbones=("vgg16_proj",),
+                            ref_resolution=64, d_interp224=False,
+                            d_latent_size=64, d_num_discs=2)
+    mesh = create_mesh(devices=jax.devices()[:2])
+    trainer = SetGANTrainer(cfg, tiny_cfg(), mesh=mesh, run_dir=str(tmp_path))
+    ds = ClassImageDataset.from_folder(class_folder, resolution=32)
+    gen = ImageMultiSetGenerator(ds, batch_size=2, reference_range=(2, 3),
+                                 candidate_range=(1, 2), seed=0)
+    trainer.train(iter(gen), total_kimg=0.004)  # 2 steps → ≥1 tick
+    assert (tmp_path / "stats.jsonl").exists()
+    events = list(tmp_path.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+    grids = list(tmp_path.glob("fakes_*.png"))
+    assert grids, "no sample grid written on snapshot tick"
