@@ -377,8 +377,15 @@ class SetGANTrainer:
         t_start = t_tick = time.time()
         writer = grid_refs = None
         if self.run_dir:
-            from ..runtime.events import EventWriter
+            from ..runtime.events import EventWriter, module_summary
             writer = EventWriter(self.run_dir)
+            # print_module_summary analogue (reference training_loop prints
+            # G/D summaries at startup, torch_utils/misc.py:198).
+            for name, tree in (("G", self.g_vars), ("D", self.d_vars)):
+                text = f"=== {name} ===\n{module_summary(tree)}"
+                print(text)
+                with open(self.run_dir / "module_summary.txt", "a") as f:
+                    f.write(text + "\n")
         for batch in data:
             if grid_refs is None:
                 # Fixed reference sets for the recurring sample grid

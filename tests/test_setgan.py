@@ -506,6 +506,7 @@ def test_trainer_tick_events_and_grid(class_folder, tmp_path):
                                  candidate_range=(1, 2), seed=0)
     trainer.train(iter(gen), total_kimg=0.004)  # 2 steps → ≥1 tick
     assert (tmp_path / "stats.jsonl").exists()
+    assert (tmp_path / "module_summary.txt").exists()
     events = list(tmp_path.glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
     grids = list(tmp_path.glob("fakes_*.png"))
