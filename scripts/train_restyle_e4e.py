@@ -27,6 +27,9 @@ class E4eCliOptions(E4eTrainOptions):
 
 
 def main(opts):
+    from stylegan3_editing_tpu.parallel.multiprocess import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()  # before first device use
     # Validate data roots before the (slow) model build/compile.
     train_iter, val_batches = build_data(opts)
     coach = build_coach(opts)
@@ -34,7 +37,15 @@ def main(opts):
         coach.restore(opts.resume_training_from_ckpt)
     elif opts.checkpoint_path:
         coach.restore(opts.checkpoint_path)
-    coach.train(train_iter, val_batches_fn=val_batches)
+    from stylegan3_editing_tpu.runtime.profiling import (
+        maybe_start_trace, stop_trace)
+    maybe_start_trace()  # SG3TPU_TRACE_DIR-gated jax.profiler capture
+    try:
+        coach.train(train_iter, val_batches_fn=val_batches)
+    finally:
+        trace_dir = stop_trace()
+        if trace_dir:
+            print(f"profiler trace written to {trace_dir}")
     coach.checkpoint(Path(opts.exp_dir) / "checkpoints" / "final_model")
     print(f"done: {coach.global_step} steps, best_val_loss={coach.best_val_loss}")
     return coach

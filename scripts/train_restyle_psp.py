@@ -69,12 +69,23 @@ def build_data(opts):
 
 
 def main(opts) -> Coach:
+    from stylegan3_editing_tpu.parallel.multiprocess import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()  # before first device use
     # Validate data roots before the (slow) model build/compile.
     train_iter, val_batches = build_data(opts)
     coach = build_coach(opts)
     if opts.checkpoint_path:
         coach.restore(opts.checkpoint_path)
-    coach.train(train_iter, val_batches_fn=val_batches)
+    from stylegan3_editing_tpu.runtime.profiling import (
+        maybe_start_trace, stop_trace)
+    maybe_start_trace()  # SG3TPU_TRACE_DIR-gated jax.profiler capture
+    try:
+        coach.train(train_iter, val_batches_fn=val_batches)
+    finally:
+        trace_dir = stop_trace()
+        if trace_dir:
+            print(f"profiler trace written to {trace_dir}")
     coach.checkpoint(Path(opts.exp_dir) / "checkpoints" / "final_model")
     print(f"done: {coach.global_step} steps, best_val_loss={coach.best_val_loss}")
     return coach

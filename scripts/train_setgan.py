@@ -50,6 +50,11 @@ class SetGANCliOptions:
     candidate_min: int = 1
     candidate_max: int = 4
     stem: str = "sg3"  # sg3 | sg2 | fastgan (decoder stem)
+    # Projected-D feature backbones: comma-separated names from the feature
+    # registry (models/backbones/registry.py, reference train_setgan.py
+    # --backbones / pretrained_builder families). Empty -> reference default
+    # pair (DeiT-base-distilled + EfficientNet-lite0).
+    backbones: Optional[str] = None
     glr: float = 0.0025
     dlr: float = 0.002
     ema_kimg: float = 10.0
@@ -122,6 +127,11 @@ def make_fid_eval_fn(opts: "SetGANCliOptions", dataset):
 
 
 def main(opts: SetGANCliOptions):
+    # Multi-host entry (reference launcher: train_setgan.py:38-118 → here
+    # env-gated jax.distributed.initialize; see parallel/multiprocess.py).
+    from stylegan3_editing_tpu.parallel.multiprocess import (
+        is_main_process, maybe_initialize_distributed)
+    maybe_initialize_distributed()
     run_dir = Path(opts.outdir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
@@ -133,11 +143,17 @@ def main(opts: SetGANCliOptions):
         dataset = SafeClassImageDataset.from_folder(opts.data,
                                                     opts.resolution)
         eval_ds = dataset
+    import jax as _jax
+    # Per-host data shard: each process draws its LOCAL batch rows
+    # (reference InfiniteSampler rank/num_replicas, misc.py:113-147).
+    assert opts.batch % _jax.process_count() == 0, (
+        opts.batch, _jax.process_count())
     data = ImageMultiSetGenerator(
-        dataset, batch_size=opts.batch,
+        dataset, batch_size=opts.batch // _jax.process_count(),
         reference_range=(opts.reference_min, opts.reference_max),
         candidate_range=(opts.candidate_min, opts.candidate_max),
         data_augmentation=opts.data_augmentation,
+        shard=_jax.process_index(), num_shards=_jax.process_count(),
         seed=opts.seed)
 
     decoder_cfg = sg3_t_config(
@@ -156,6 +172,8 @@ def main(opts: SetGANCliOptions):
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
         tick_kimg=opts.tick_kimg, snapshot_ticks=opts.snapshot_ticks,
         eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,
+        **({"d_backbones": tuple(opts.backbones.split(","))}
+           if opts.backbones else {}),
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
                               pl_weight=opts.pl_weight))
@@ -165,10 +183,21 @@ def main(opts: SetGANCliOptions):
         trainer.restore(opts.resume)
 
     eval_fn = make_fid_eval_fn(opts, eval_ds)
-    trainer.train(iter(data), eval_fn=eval_fn)
-    trainer.snapshot(run_dir / "final")
-    print(f"done at {trainer.cur_nimg / 1000:.1f} kimg, "
-          f"best_fid={trainer.best_fid}")
+    # SG3TPU_TRACE_DIR-gated jax.profiler capture (reference profiling
+    # scopes: torch_utils/misc.py:102-110, training_loop.py:304-309).
+    from stylegan3_editing_tpu.runtime.profiling import (
+        maybe_start_trace, stop_trace)
+    maybe_start_trace()
+    try:
+        trainer.train(iter(data), eval_fn=eval_fn)
+    finally:
+        trace_dir = stop_trace()
+        if trace_dir:
+            print(f"profiler trace written to {trace_dir}")
+    trainer.snapshot(run_dir / "final")  # no-op on non-zero processes
+    if is_main_process():
+        print(f"done at {trainer.cur_nimg / 1000:.1f} kimg, "
+              f"best_fid={trainer.best_fid}")
 
 
 if __name__ == "__main__":

@@ -77,10 +77,18 @@ class Transformer(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None):
+    def __call__(self, x, mask: Optional[jax.Array] = None,
+                 hooks: Optional[tuple] = None):
+        """hooks: block indices whose outputs to return (feature-network
+        taps); None → final output only."""
+        hooked = {}
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        name=f"resblock_{i}")(x, mask)
+            if hooks is not None and i in hooks:
+                hooked[i] = x
+        if hooks is not None:
+            return x, [hooked[i] for i in hooks]
         return x
 
 
@@ -185,34 +193,50 @@ def clip_preprocess_from_synth(images: jax.Array, size: int = 224) -> jax.Array:
 
 # ------------------------------------------------------------- converter
 
-def convert_clip_state(state: Mapping[str, np.ndarray]) -> dict:
-    """OpenAI CLIP state dict → our params tree."""
+def _ln_into(p, state, out, key):
+    put(p, f"{out}/scale", state[f"{key}.weight"])
+    put(p, f"{out}/bias", state[f"{key}.bias"])
+
+
+def _block_into(p, state, out, key):
+    put(p, f"{out}/attn/in_proj/kernel", dense_w(state[f"{key}.attn.in_proj_weight"]))
+    put(p, f"{out}/attn/in_proj/bias", state[f"{key}.attn.in_proj_bias"])
+    put(p, f"{out}/attn/out_proj/kernel", dense_w(state[f"{key}.attn.out_proj.weight"]))
+    put(p, f"{out}/attn/out_proj/bias", state[f"{key}.attn.out_proj.bias"])
+    _ln_into(p, state, f"{out}/ln_1", f"{key}.ln_1")
+    _ln_into(p, state, f"{out}/ln_2", f"{key}.ln_2")
+    put(p, f"{out}/c_fc/kernel", dense_w(state[f"{key}.mlp.c_fc.weight"]))
+    put(p, f"{out}/c_fc/bias", state[f"{key}.mlp.c_fc.bias"])
+    put(p, f"{out}/c_proj/kernel", dense_w(state[f"{key}.mlp.c_proj.weight"]))
+    put(p, f"{out}/c_proj/bias", state[f"{key}.mlp.c_proj.bias"])
+
+
+def convert_clip_visual_state(state: Mapping[str, np.ndarray]) -> dict:
+    """OpenAI CLIP state dict (visual.* subset suffices) → visual-trunk
+    params — shared by `CLIP` and `CLIPViTStages` (whose stage heads stay
+    randomly initialized, like the reference's untrained ViT readouts)."""
     p: dict = {}
-
-    def ln(out, key):
-        put(p, f"{out}/scale", state[f"{key}.weight"])
-        put(p, f"{out}/bias", state[f"{key}.bias"])
-
-    def block(out, key, width):
-        put(p, f"{out}/attn/in_proj/kernel", dense_w(state[f"{key}.attn.in_proj_weight"]))
-        put(p, f"{out}/attn/in_proj/bias", state[f"{key}.attn.in_proj_bias"])
-        put(p, f"{out}/attn/out_proj/kernel", dense_w(state[f"{key}.attn.out_proj.weight"]))
-        put(p, f"{out}/attn/out_proj/bias", state[f"{key}.attn.out_proj.bias"])
-        ln(f"{out}/ln_1", f"{key}.ln_1")
-        ln(f"{out}/ln_2", f"{key}.ln_2")
-        put(p, f"{out}/c_fc/kernel", dense_w(state[f"{key}.mlp.c_fc.weight"]))
-        put(p, f"{out}/c_fc/bias", state[f"{key}.mlp.c_fc.bias"])
-        put(p, f"{out}/c_proj/kernel", dense_w(state[f"{key}.mlp.c_proj.weight"]))
-        put(p, f"{out}/c_proj/bias", state[f"{key}.mlp.c_proj.bias"])
-
     put(p, "visual_conv1/kernel",
         np.asarray(state["visual.conv1.weight"]).transpose(2, 3, 1, 0))
     put(p, "class_embedding", state["visual.class_embedding"])
     put(p, "visual_positional_embedding", state["visual.positional_embedding"])
-    ln("ln_pre", "visual.ln_pre")
+    _ln_into(p, state, "ln_pre", "visual.ln_pre")
     for i in range(12):
-        block(f"visual_transformer/resblock_{i}",
-              f"visual.transformer.resblocks.{i}", 768)
+        _block_into(p, state, f"visual_transformer/resblock_{i}",
+                    f"visual.transformer.resblocks.{i}")
+    return {"params": p}
+
+
+def convert_clip_state(state: Mapping[str, np.ndarray]) -> dict:
+    """OpenAI CLIP state dict → our params tree."""
+    p: dict = dict(convert_clip_visual_state(state)["params"])
+
+    def ln(out, key):
+        _ln_into(p, state, out, key)
+
+    def block(out, key, width):
+        _block_into(p, state, out, key)
+
     ln("ln_post", "visual.ln_post")
     put(p, "visual_proj", state["visual.proj"])
 
@@ -329,3 +353,70 @@ class SimpleTokenizer:
                 toks[-1] = eot
             result[i, :len(toks)] = toks
         return result
+
+
+class CLIPViTStages(nn.Module):
+    """CLIP ViT-B/32 visual trunk sliced into the 4-stage feature contract.
+
+    Mirrors the reference's ViT feature-network construction
+    (pretrained_builder.py:131-195 via midas hooks): transformer blocks are
+    hooked at depths (2, 5, 8, 11), token grids reshaped to maps, then
+    randomly-initialized per-stage projections resample to /4, /8, /16, /32
+    (the projections are frozen-random, like the projector's CCM/CSM).
+    Trunk parameter names match `CLIP` → `convert_clip_state` params apply
+    (visual.* subset).
+    """
+
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_patch: int = 32
+    hooks: tuple = (2, 5, 8, 11)
+    stage_ch: tuple = (96, 192, 384, 768)
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        n, hh, ww, _ = x.shape
+        gh, gw = hh // self.vision_patch, ww // self.vision_patch
+        scale = self.vision_width ** -0.5
+        tok = nn.Conv(self.vision_width,
+                      (self.vision_patch, self.vision_patch),
+                      strides=self.vision_patch, use_bias=False,
+                      name="visual_conv1")(x)
+        tok = tok.reshape(n, gh * gw, self.vision_width)
+        cls = self.param(
+            "class_embedding",
+            lambda key: scale * jax.random.normal(key, (self.vision_width,)))
+        grid0 = 224 // self.vision_patch
+        pos = self.param(
+            "visual_positional_embedding",
+            lambda key: scale * jax.random.normal(
+                key, (grid0 * grid0 + 1, self.vision_width)))
+        if gh * gw != pos.shape[0] - 1:  # interpolate for non-224 inputs
+            grid = pos[1:].reshape(1, grid0, grid0, self.vision_width)
+            grid = jax.image.resize(grid, (1, gh, gw, self.vision_width),
+                                    "bilinear")
+            pos = jnp.concatenate(
+                [pos[:1], grid.reshape(gh * gw, self.vision_width)], axis=0)
+        tok = jnp.concatenate(
+            [jnp.broadcast_to(cls[None, None], (n, 1, self.vision_width)),
+             tok], axis=1) + pos[None]
+        tok = nn.LayerNorm(name="ln_pre")(tok)
+
+        _, taps = Transformer(
+            self.vision_width, self.vision_layers, self.vision_width // 64,
+            name="visual_transformer")(tok, hooks=tuple(self.hooks))
+
+        outs = []
+        for si in range(len(self.hooks)):
+            t = taps[si][:, 1:]  # readout 'ignore': drop cls token
+            fmap = t.reshape(n, gh, gw, self.vision_width)
+            fmap = nn.Conv(self.stage_ch[si], (1, 1),
+                           name=f"head{si}_proj")(fmap)
+            # Patch-32 grid is /32; bring stages to /4, /8, /16, /32.
+            ups = (8, 4, 2, 1)[si]
+            if ups > 1:
+                fmap = nn.ConvTranspose(self.stage_ch[si], (ups, ups),
+                                        strides=(ups, ups),
+                                        name=f"head{si}_up")(fmap)
+            outs.append(fmap)
+        return outs

@@ -1,0 +1,148 @@
+"""Generic feature-network registry: name → 4-stage extractor + converter.
+
+TPU-native counterpart of the reference's `_make_pretrained` builder, which
+slices ~30 timm families into 4 feature stages for the projected
+discriminator (/root/reference/models/styleganxl/feature_networks/
+pretrained_builder.py:118-195) with per-backbone normalization constants
+(constants.py:67-104, projector.py:9-28).
+
+Every entry provides:
+- ``make()``      → a flax module whose ``__call__(x_nhwc)`` returns a list
+                    of 4 feature maps (the /4, /8, /16, /32 stage contract);
+- ``mean/std``    → input normalization (applied by the caller on [0,1] RGB);
+- ``convert``     → torch/timm state dict → flax variables (pretrained
+                    weights); stage-projection heads that the reference
+                    leaves randomly initialized stay randomly initialized.
+
+New families register with one ``register(...)`` call. The projected set
+discriminator resolves ``--backbones`` names through this registry
+(setgan/discriminator.py), so any registered name is trainable-against.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class SlicedStages(nn.Module):
+    """Adapter: run an inner multi-stage module, keep 4 selected stages."""
+
+    inner: Callable[..., nn.Module]
+    take: Sequence[int] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x) -> List:
+        feats = self.inner(name="net")(x)
+        return [feats[i] for i in self.take]
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureNetworkSpec:
+    name: str
+    make: Callable[[], nn.Module]
+    mean: np.ndarray
+    std: np.ndarray
+    convert: Optional[Callable[[Mapping[str, np.ndarray]], dict]]
+    channels: Tuple[int, int, int, int]
+    # True when `convert` output nests under a "net" child (SlicedStages).
+    nested: bool = False
+
+
+_REGISTRY: Dict[str, FeatureNetworkSpec] = {}
+
+
+def register(name: str, make, mean, std, convert, channels,
+             nested: bool = False) -> None:
+    _REGISTRY[name] = FeatureNetworkSpec(
+        name=name, make=make, mean=np.asarray(mean, np.float32),
+        std=np.asarray(std, np.float32), convert=convert,
+        channels=tuple(channels), nested=nested)
+
+
+def available() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def get_spec(name: str) -> FeatureNetworkSpec:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown feature network '{name}'; available: {available()}")
+    return _REGISTRY[name]
+
+
+def make_feature_network(name: str) -> Tuple[nn.Module, FeatureNetworkSpec]:
+    """Instantiate a registered 4-stage feature extractor."""
+    spec = get_spec(name)
+    return spec.make(), spec
+
+
+def convert_feature_network_state(
+        name: str, state: Mapping[str, np.ndarray]) -> dict:
+    """Pretrained torch/timm state dict → flax variables for `name`'s
+    module as instantiated by ``make_feature_network`` (handles the
+    SlicedStages nesting)."""
+    spec = get_spec(name)
+    assert spec.convert is not None, f"{name} has no converter"
+    variables = spec.convert(state)
+    if spec.nested:
+        variables = {coll: {"net": sub} for coll, sub in variables.items()}
+    return variables
+
+
+# ------------------------------------------------------------------ entries
+
+
+def _register_defaults():
+    from .alexnet import AlexNetFeatures, convert_alexnet_state
+    from .clip import CLIPViTStages, convert_clip_state
+    from .deit import DeiTFeatures, convert_deit
+    from .efficientnet import (EfficientNetLite0Features,
+                               convert_efficientnet_lite0)
+    from .resnet import (ResNet34Stages, ResNet50Stages,
+                         convert_resnet34_state, convert_resnet50_state)
+    from .vgg import VGG16Features, convert_vgg16_state
+
+    # Reference defaults (train_setgan.py:223-240).
+    register("deit_base_distilled_patch16_224", DeiTFeatures,
+             IMAGENET_MEAN, IMAGENET_STD, convert_deit,
+             (96, 192, 384, 768))
+    register("tf_efficientnet_lite0", EfficientNetLite0Features,
+             INCEPTION_MEAN, INCEPTION_STD, convert_efficientnet_lite0,
+             (24, 40, 112, 320))
+    # Conv families.
+    register("vgg16",
+             lambda **kw: SlicedStages(VGG16Features, take=(1, 2, 3, 4), **kw),
+             IMAGENET_MEAN, IMAGENET_STD, convert_vgg16_state,
+             (128, 256, 512, 512), nested=True)
+    register("alexnet",
+             lambda **kw: SlicedStages(AlexNetFeatures, take=(1, 2, 3, 4), **kw),
+             IMAGENET_MEAN, IMAGENET_STD, convert_alexnet_state,
+             (192, 384, 256, 256), nested=True)
+    register("resnet50", ResNet50Stages, IMAGENET_MEAN, IMAGENET_STD,
+             convert_resnet50_state, (256, 512, 1024, 2048))
+    register("resnet34", ResNet34Stages, IMAGENET_MEAN, IMAGENET_STD,
+             convert_resnet34_state, (64, 128, 256, 512))
+    # ViT family via the CLIP visual trunk (reference vit_* families,
+    # pretrained_builder.py:131-195).
+    register("clip_vit_b32", CLIPViTStages, CLIP_MEAN, CLIP_STD,
+             _convert_clip_visual, (96, 192, 384, 768))
+
+
+def _convert_clip_visual(state: Mapping[str, np.ndarray]) -> dict:
+    from .clip import convert_clip_visual_state
+
+    return convert_clip_visual_state(state)
+
+
+_register_defaults()

@@ -147,3 +147,59 @@ def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
                 bn_from_torch(params, stats, f"{o}/down_bn", state,
                               f"{t}.downsample.1")
     return {"params": params, "batch_stats": stats}
+
+
+class ResNet50Stages(nn.Module):
+    """torchvision resnet50 sliced into the 4-stage feature contract
+    (/4 256ch, /8 512ch, /16 1024ch, /32 2048ch) — reference
+    pretrained_builder._make_resnet_backbone (pretrained_builder.py:118-130).
+    Same parameter naming as ResNet50Features → convert_resnet50_state fits."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, train=train)
+        x = nn.relu(x)
+        x = max_pool2d(x, 3, 2, padding=1)
+        outs = []
+        for stage_i, (blocks, width, out_c, stride) in enumerate(_STAGES, start=1):
+            for block_i in range(blocks):
+                x = Bottleneck(
+                    width, out_c,
+                    stride=stride if block_i == 0 else 1,
+                    downsample=block_i == 0,
+                    name=f"layer{stage_i}_{block_i}")(x, train=train)
+            outs.append(x)
+        return outs
+
+
+class ResNet34Stages(nn.Module):
+    """torchvision resnet34 (with stem) sliced into 4 stages
+    (/4 64ch, /8 128ch, /16 256ch, /32 512ch)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, train=train)
+        x = nn.relu(x)
+        x = max_pool2d(x, 3, 2, padding=1)
+        outs = []
+        for stage_i, (blocks, channels) in enumerate(RESNET34_LAYERS, start=1):
+            for block_i in range(blocks):
+                stride = 2 if (stage_i > 1 and block_i == 0) else 1
+                downsample = block_i == 0 and stage_i > 1
+                x = BasicBlock(channels, stride, downsample,
+                               name=f"layer{stage_i}_{block_i}")(x, train=train)
+            outs.append(x)
+        return outs
+
+
+def convert_resnet34_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet34 state dict (incl. stem) → ResNet34Stages vars."""
+    body = convert_resnet34_body_state(state)
+    params, stats = body["params"], body["batch_stats"]
+    put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
+    bn_from_torch(params, stats, "bn1", state, "bn1")
+    return {"params": params, "batch_stats": stats}

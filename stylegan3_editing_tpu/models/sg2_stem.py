@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.modulated_conv import modulated_conv2d
-from ..ops.upfirdn2d import filter2d, upsample2d
+from ..ops.upfirdn2d import upfirdn2d, upsample2d
 from .sg3.layers import FullyConnected, MappingNetwork
 
 _BLUR = np.array([1.0, 3.0, 3.0, 1.0])
@@ -60,8 +60,12 @@ class SG2Config:
 
     @property
     def num_ws(self) -> int:
-        # 1 conv at b4, 2 per later block (ToRGB shares its block's last w).
-        return 2 * len(self.block_resolutions) - 1
+        # 1 conv at b4 + 2 per later block, plus one extra: each block's
+        # ToRGB consumes the NEXT block's first w (the last block's ToRGB
+        # gets a final extra w) — reference networks_stylegan2.py w-broadcast
+        # layout (SynthesisNetwork.forward narrows num_conv+num_torgb per
+        # block but advances w_idx by num_conv only).
+        return 2 * len(self.block_resolutions)
 
 
 def _lrelu(x, gain=np.sqrt(2)):
@@ -83,8 +87,15 @@ class SG2Layer(nn.Module):
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (3, 3, in_ch, self.out_channels))
         if self.up:
-            x = modulated_conv2d(x, weight, styles, padding=2, up=2)
-            x = filter2d(x, _BLUR * 4.0, padding=(-1, 0, -1, 0))
+            # Reference up-conv = conv2d_resample(up=2, padding=k//2,
+            # flip_weight=False) → transpose-conv: correlate the 2×-dilated
+            # input with the SPATIALLY FLIPPED kernel (pad k−1), then the
+            # [1,3,3,1] blur with pad (1,1) and up² gain
+            # (networks_stylegan2.py SynthesisLayer + conv2d_resample up
+            # path); verified exact in tests/test_reference_parity.py.
+            x = modulated_conv2d(x, weight[::-1, ::-1], styles, padding=2,
+                                 up=2)
+            x = upfirdn2d(x, _BLUR, padding=(1, 1, 1, 1), gain=4)
         else:
             x = modulated_conv2d(x, weight, styles, padding=1)
         noise_strength = self.param("noise_strength", nn.initializers.zeros, ())
@@ -140,7 +151,10 @@ class SG2Block(nn.Module):
                          name="conv1")(x, ws[:, w_idx + 1],
                                        jax.random.fold_in(rng, self.res * 2 + 1))
             w_idx += 2
-        y = SG2ToRGB(cfg.img_channels, name="torgb")(x, ws[:, w_idx - 1])
+        # ToRGB consumes the NEXT w (ws[:, w_idx], already advanced past
+        # this block's convs) — matches the reference's per-block
+        # narrow(num_conv + num_torgb) overlap.
+        y = SG2ToRGB(cfg.img_channels, name="torgb")(x, ws[:, w_idx])
         img = y if img is None else upsample2d(
             img, _BLUR, up=2) + y.astype(img.dtype)
         return x, img, w_idx
@@ -217,13 +231,16 @@ def convert_sg2_state(state: Dict[str, np.ndarray], cfg: SG2Config) -> dict:
             block, mod = parts[1], parts[2]
             if mod == "const":
                 assign((block, "const"), v.transpose(1, 2, 0))  # CHW→HWC
+            elif parts[-1] in ("resample_filter", "noise_const"):
+                # static blur taps / const-noise buffers: not parameters
+                # here (taps recomputed; noise is functional).
+                pass
             elif parts[-1] == "weight" and parts[-2] in ("conv0", "conv1",
-                                                         "torgb"):
-                assign((block, parts[2], "weight"),
+                                                         "torgb", "skip"):
+                assign((block, parts[-2], "weight"),
                        v.transpose(2, 3, 1, 0))  # OIHW→HWIO
-            elif parts[3] == "affine":
+            elif len(parts) >= 5 and parts[3] == "affine":
                 assign((block, parts[2], "affine", parts[4]), v)
             elif parts[-1] in ("bias", "noise_strength"):
                 assign((block, parts[2], parts[-1]), v)
-            # noise_const buffers are dropped: noise is functional here.
     return {"params": params, "ema": ema}

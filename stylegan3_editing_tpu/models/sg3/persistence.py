@@ -125,8 +125,40 @@ class TFNetworkStub(EasyDict):
 
 
 class _StandaloneUnpickler(pickle.Unpickler):
-    _ALLOWED_PREFIXES = ("torch", "numpy", "collections", "builtins",
-                         "copyreg", "_codecs")
+    # Exact (module, name) pairs needed to reconstruct tensor/ndarray state.
+    # Module-prefix allowlisting is NOT safe: e.g. a prefix of "builtins"
+    # would resolve builtins.eval and execute attacker code from the pickle.
+    _ALLOWED_EXACT = {
+        ("collections", "OrderedDict"),
+        ("collections", "defaultdict"),
+        ("collections", "deque"),
+        ("copyreg", "_reconstructor"),
+        ("_codecs", "encode"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("torch._utils", "_rebuild_tensor"),
+        ("torch._utils", "_rebuild_tensor_v2"),
+        ("torch._utils", "_rebuild_parameter"),
+        ("torch._utils", "_rebuild_device_tensor_from_numpy"),
+        ("torch.storage", "_load_from_bytes"),
+        ("torch.serialization", "_get_layout"),
+        ("torch", "Size"),
+        ("torch", "device"),
+        ("torch", "dtype"),
+    }
+    # Closed set of safe, side-effect-free builtin constructors.
+    _ALLOWED_BUILTINS = {
+        "list", "dict", "tuple", "set", "frozenset", "slice", "complex",
+        "bytearray", "range", "int", "float", "bool", "str", "bytes",
+        "object",
+    }
+    # torch typed-storage classes (FloatStorage, HalfStorage, ...) are data
+    # containers keyed by dtype name — match the family, nothing else.
+    _TORCH_STORAGE_RE = re.compile(r"^(Untyped|[A-Z]\w*)Storage$")
 
     def find_class(self, module, name):
         if module.startswith("torch_utils") and \
@@ -139,10 +171,14 @@ class _StandaloneUnpickler(pickle.Unpickler):
         if module.split(".")[0] in ("dnnlib", "torch_utils"):
             # Any other reference-internal symbol: benign dict-like stub.
             return EasyDict
-        if module.split(".")[0] not in self._ALLOWED_PREFIXES:
-            raise pickle.UnpicklingError(
-                f"refusing to unpickle {module}.{name} (not allowlisted)")
-        return super().find_class(module, name)
+        if (module, name) in self._ALLOWED_EXACT:
+            return super().find_class(module, name)
+        if module == "builtins" and name in self._ALLOWED_BUILTINS:
+            return super().find_class(module, name)
+        if module == "torch" and self._TORCH_STORAGE_RE.match(name):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} (not allowlisted)")
 
 
 def load_network_pkl(path_or_file) -> Dict[str, Any]:
@@ -229,6 +265,14 @@ def convert_tf_generator_state(
 
     tf_params = collect_tf_params(tf_g)
     res = int(kwargs.img_resolution)
+    # Old progressive-growing ToRGB naming must be remapped BEFORE the
+    # per-resolution extraction below consumes the synthesis keys
+    # (reference legacy.py remaps first for the same reason).
+    for key, value in list(tf_params.items()):
+        m = re.fullmatch(r"ToRGB_lod(\d+)/(.*)", key)
+        if m:
+            r_lod = res // (2 ** int(m.group(1)))
+            tf_params[f"synthesis/{r_lod}x{r_lod}/ToRGB/{m.group(2)}"] = value
 
     out: Dict[str, np.ndarray] = {}
 
@@ -272,6 +316,7 @@ def convert_tf_generator_state(
     if "synthesis/noise0" in tf_params:
         put("synthesis.b4.conv1.noise_const",
             tf_params["synthesis/noise0"][0, 0])
+    conv("synthesis/4x4/ToRGB", "synthesis.b4.torgb")
     r = 8
     while r <= res:
         lg = int(np.log2(r))
@@ -286,10 +331,4 @@ def convert_tf_generator_state(
             w = tf_params[f"synthesis/{r}x{r}/Skip/weight"][::-1, ::-1]
             put(f"synthesis.b{r}.skip.weight", np.transpose(w, (3, 2, 0, 1)))
         r *= 2
-    # Old progressive-growing ToRGB naming (legacy.py:163-168).
-    for key, value in list(tf_params.items()):
-        m = re.fullmatch(r"ToRGB_lod(\d+)/(.*)", key)
-        if m:
-            r_lod = res // (2 ** int(m.group(1)))
-            tf_params[f"synthesis/{r_lod}x{r_lod}/ToRGB/{m.group(2)}"] = value
     return out, kwargs

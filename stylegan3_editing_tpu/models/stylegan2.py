@@ -129,7 +129,15 @@ class ToRGB(nn.Module):
 
 
 class SG2Generator(nn.Module):
-    """Skip-architecture StyleGAN2 generator. z → NHWC image."""
+    """Skip-architecture StyleGAN2 generator. z → NHWC image.
+
+    Full rosinality forward surface (reference models/stylegan2/model.py
+    Generator.forward :419-500): multi-z STYLE MIXING with `inject_index`,
+    `input_is_latent`, truncation lerp, `return_latents`, and a NOISE
+    REGISTRY — per-layer 'noises' buffers (noise_0..noise_{2L-2}) used when
+    ``noise_mode='const'`` so converted checkpoints reproduce reference
+    outputs deterministically; ``rng`` draws fresh noise instead
+    (randomize_noise=True)."""
 
     size: int = 256
     style_dim: int = 512
@@ -146,46 +154,94 @@ class SG2Generator(nn.Module):
     def n_latent(self) -> int:
         return int(math.log(self.size, 2)) * 2 - 2
 
+    def mapping(self, z: jax.Array) -> jax.Array:
+        """z → w (the rosinality `style` MLP)."""
+        w = pixel_norm(z.astype(jnp.float32))
+        for i in range(self.n_mlp):
+            w = FullyConnected(self.style_dim, activation="lrelu",
+                               lr_multiplier=self.lr_mlp,
+                               name=f"style_{i}")(w)
+        return w
+
     @nn.compact
-    def __call__(self, z: Optional[jax.Array] = None,
+    def __call__(self, z=None,
                  styles: Optional[jax.Array] = None,
                  rng: Optional[jax.Array] = None,
+                 noise_mode: str = "random",
                  truncation: float = 1.0,
-                 truncation_latent: Optional[jax.Array] = None):
+                 truncation_latent: Optional[jax.Array] = None,
+                 input_is_latent: bool = False,
+                 inject_index: Optional[int] = None,
+                 return_latents: bool = False):
+        """`z`: a single [N, D] latent or a list of them (style mixing,
+        reference model.py:435-466); `styles`: ready [N, n_latent, D] W+
+        (bypasses mapping). noise_mode: 'random' (needs rng) | 'const'
+        (registry buffers) | 'none'."""
         ch = self.channels()
         log_size = int(math.log(self.size, 2))
 
         if styles is None:
             assert z is not None
-            w = pixel_norm(z.astype(jnp.float32))
-            for i in range(self.n_mlp):
-                w = FullyConnected(self.style_dim, activation="lrelu",
-                                   lr_multiplier=self.lr_mlp,
-                                   name=f"style_{i}")(w)
+            zs = list(z) if isinstance(z, (list, tuple)) else [z]
+            ws = [jnp.asarray(s, jnp.float32) if input_is_latent
+                  else self.mapping(s) for s in zs]
             if truncation != 1.0 and truncation_latent is not None:
-                w = truncation_latent + truncation * (w - truncation_latent)
-            styles = jnp.repeat(w[:, None, :], self.n_latent, axis=1)
+                ws = [truncation_latent + truncation * (w - truncation_latent)
+                      for w in ws]
+            if len(ws) == 1:
+                styles = jnp.repeat(ws[0][:, None, :], self.n_latent, axis=1)
+            else:
+                assert len(ws) == 2, "style mixing uses two latents"
+                if inject_index is None:
+                    inject_index = self.n_latent // 2
+                styles = jnp.concatenate(
+                    [jnp.repeat(ws[0][:, None, :], inject_index, axis=1),
+                     jnp.repeat(ws[1][:, None, :],
+                                self.n_latent - inject_index, axis=1)],
+                    axis=1)
 
         n = styles.shape[0]
         const = self.param("input", nn.initializers.normal(1.0),
                            (1, 4, 4, ch[4]))
         x = jnp.broadcast_to(const, (n,) + const.shape[1:])
 
-        rngs = (list(jax.random.split(rng, self.n_latent))
-                if rng is not None else [None] * self.n_latent)
-        x = StyledConv(ch[4], name="conv1")(x, styles[:, 0], rng=rngs[0])
+        # Noise registry: one buffer per conv (reference make_noise,
+        # model.py:404-413); 'random' draws fresh, 'none' disables.
+        num_convs = 2 * (log_size - 2) + 1
+
+        def layer_noise(i, shape_hw):
+            if noise_mode == "none" or (noise_mode == "random" and
+                                        rng is None):
+                return None, None  # rosinality noise=None w/o randomize
+            if noise_mode == "const":
+                buf = self.variable(
+                    "noises", f"noise_{i}",
+                    lambda: jnp.zeros((1,) + shape_hw + (1,), jnp.float32))
+                return buf.value, None
+            return None, jax.random.fold_in(rng, i)
+
+        res0 = 4
+        nz, nrng = layer_noise(0, (res0, res0))
+        x = StyledConv(ch[4], name="conv1")(x, styles[:, 0], noise=nz,
+                                            rng=nrng)
         skip = ToRGB(name="to_rgb1")(x, styles[:, 1])
 
         idx = 1
+        noise_i = 1
         for res_log in range(3, log_size + 1):
             res = 2 ** res_log
+            nz, nrng = layer_noise(noise_i, (res, res))
             x = StyledConv(ch[res], upsample=True,
                            name=f"conv_up_{res}")(x, styles[:, idx],
-                                                  rng=rngs[idx])
+                                                  noise=nz, rng=nrng)
+            nz, nrng = layer_noise(noise_i + 1, (res, res))
             x = StyledConv(ch[res], name=f"conv_{res}")(x, styles[:, idx + 1],
-                                                        rng=rngs[idx + 1])
+                                                        noise=nz, rng=nrng)
             skip = ToRGB(name=f"to_rgb_{res}")(x, styles[:, idx + 2], skip)
             idx += 2
+            noise_i += 2
+        if return_latents:
+            return skip, styles
         return skip
 
 

@@ -268,24 +268,36 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
 
 def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
                 w_align: int = 16,
-                budget: int = 9 * 2 ** 20) -> Tuple[int, int]:
+                budget: int = 40 * 2 ** 20,
+                len_out_h: Optional[int] = None,
+                len_out_w: Optional[int] = None) -> Tuple[int, int]:
     """Largest square-ish (TM, TW) whose VMEM footprint fits the budget.
 
     TW must give a w_align-aligned DMA stride (2·TW/u ≡ 0 mod w_align);
-    TM only needs 2·TM ≡ 0 mod u.
+    TM only needs 2·TM ≡ 0 mod u. Tiles are CLAMPED to the actual output
+    size (small layers: a 36² canvas forced through a padded 64² tile wastes
+    >3× the compute — the round-2 small-layer pathology).
     """
     step = max(u // 2, 1)
     w_step = w_align * u // 2  # smallest TW with aligned stride
-    for t in [128, 96, 80, 64, 48, 40, 32, 24, 16, 8]:
+    # Smallest tile fully covering the output along each axis.
+    cap_m = None if len_out_h is None else -(-len_out_h // step) * step
+    cap_w = None if len_out_w is None else -(-len_out_w // w_step) * w_step
+    for t in [256, 192, 128, 96, 80, 64, 48, 40, 32, 24, 16, 8]:
         tm = max((t // step) * step, step)
         tw = max((t // w_step) * w_step, w_step)
+        if cap_m is not None:
+            tm = min(tm, cap_m)
+        if cap_w is not None:
+            tw = min(tw, cap_w)
         q = (2 * max(tm, tw) + td - 2) // u + 1
         in_tile = q + tu // u + 2
         x_bytes = in_tile * in_tile * c_block * esize
         planes = (u * in_tile * q + u * u * q * q) * c_block * 4
         down = 2 * u * q * max(tm, tw) * c_block * 4
         out = tm * tw * c_block * esize
-        if x_bytes + planes + down + out <= budget:
+        # 2× x: double-buffered input DMA scratch.
+        if 2 * x_bytes + planes + down + out <= budget:
             return tm, tw
     return step, w_step
 
@@ -336,6 +348,28 @@ def fused_filtered_lrelu(
             c_block=c_block, interpret=interpret)
     px0, px1, py0, py1 = padding
 
+    # Lane-occupancy fold: merge batch into the channel (lane) axis when
+    # that raises 128-lane occupancy — e.g. L12/L13 (C=64) waste half the
+    # VPU lanes per vector op at batch≥2; folded (N·C=128) they use all of
+    # them. Costs two HBM transposes (~0.3 ms each at 1044²·bf16), repaid
+    # many times over on the hot layers. FIR/bias/act are per-channel, so
+    # batch entries never mix.
+    n0, h0, w0, c0 = x.shape
+
+    def _occ(ch):
+        return ch / (-(-ch // c_block) * c_block)
+
+    if n0 > 1 and _occ(n0 * c0) > _occ(c0) + 1e-9:
+        xt = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h0, w0, n0 * c0)
+        bt = None if b is None else jnp.tile(b, n0)
+        out = fused_filtered_lrelu(
+            xt, fu, fd, bt, up, down, padding, gain, slope, clamp,
+            c_block=c_block, interpret=interpret)
+        if out is not None:
+            _, oh, ow, _ = out.shape
+            out = out.reshape(oh, ow, n0, c0)
+            return jnp.transpose(out, (2, 0, 1, 3))
+
     # Correlation-order taps with gains folded (upfirdn2d composition:
     # up pass gain=up² → ×up per axis; down pass gain=1).
     fu_c = fu[::-1] * up
@@ -354,8 +388,11 @@ def fused_filtered_lrelu(
     esize = jnp.dtype(dtype).itemsize
 
     w_align = 16  # bf16 sublane tile; safe for fp32 too
+    # Output lengths (for tile clamping) from the composition formula.
+    lo_h = (h * up + py0 + py1 - (len(fu_c) - 1) - (td_h - 1) + 1) // 2
+    lo_w = (w * up + px0 + px1 - (len(fu_c) - 1) - (td_w - 1) + 1) // 2
     tm, tw = _pick_tiles(up, len(fu_c), max(td_h, td_w), c_block, esize,
-                         w_align=w_align)
+                         w_align=w_align, len_out_h=lo_h, len_out_w=lo_w)
     plan_h = _AxisPlan(h, tm, fu_c, td_h, up, py0, py1)
     plan_w = _AxisPlan(w, tw, fu_c, td_w, up, px0, px1, align=w_align)
 

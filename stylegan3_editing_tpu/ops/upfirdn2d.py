@@ -144,10 +144,11 @@ def upfirdn2d(
             ``(x0, x1, y0, y1)``. Negative values crop.
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scale.
-        impl: 'auto' (block-banded MXU matmuls on TPU for static numpy
-            filters, XLA depthwise conv otherwise), 'mxu' (force the banded
-            matmul), 'shift' (polyphase shift-and-add: exact but ~taps× HBM
-            read amplification), 'conv', or 'pallas' (force the VMEM kernel).
+        impl: 'auto' (XLA depthwise conv — measured fastest end-to-end for
+            the non-fused call sites, see BASELINE.md round-2 table), 'mxu'
+            (opt-in block-banded MXU matmul), 'shift' (polyphase
+            shift-and-add: exact but ~taps× HBM read amplification), 'conv',
+            or 'pallas' (force the VMEM kernel).
     """
     assert x.ndim == 4, "expected NHWC input"
     if impl == "auto":
@@ -171,14 +172,13 @@ def upfirdn2d(
                                           flip_filter, float(gain))
         raise ValueError("filter not expressible by the shift fast path")
 
-    # TPU default fast path: FIR as block-banded MXU matmuls (ops/fir_mxu.py).
-    # Differentiable (einsum transpose = another banded matmul), no custom
-    # kernels, and it moves the 12-tap filter arithmetic off the VPU onto the
-    # matrix unit where TPU FLOPs live. Static numpy filters only (the banded
-    # matrix is a trace-time constant).
-    if isinstance(f, np.ndarray) and (
-            impl == "mxu"
-            or (impl == "auto" and jax.default_backend() == "tpu")):
+    # Block-banded MXU matmul path (ops/fir_mxu.py). OPT-IN only: BASELINE.md
+    # round-2 measurements show it SLOWER than the XLA conv end-to-end at the
+    # SG3 geometries (e.g. L10 285.7 ms vs 196.8 ms) — ~8% MXU-efficient on
+    # 12-tap banding — so 'auto' stays on conv; set SG3TPU_FIR_IMPL=mxu to
+    # force it. Static numpy filters only (the banded matrix is a trace-time
+    # constant).
+    if isinstance(f, np.ndarray) and impl == "mxu":
         from .fir_mxu import fir_resample_mxu
 
         out = fir_resample_mxu(x, f, up_t, down_t, pad_t, flip_filter,

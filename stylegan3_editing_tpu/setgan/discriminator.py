@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.backbones.deit import DeiTFeatures
-from ..models.backbones.efficientnet import EfficientNetLite0Features
+from ..models.backbones import registry as fn_registry
 from ..models.backbones.vgg import VGG16Features
 from ..ops.image import resize_bilinear
 from .diffaugment import diff_augment
@@ -41,15 +40,22 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 _INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
 _INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
 
-# backbone name → (feature module factory, mean, std); normalization per
-# reference feature_networks/constants.py:67-104 + projector.py:9-28.
+# Legacy direct entry (5-stage VGG, sliced in FeatureProjector); every
+# other name resolves through the generic feature-network registry
+# (models/backbones/registry.py — the reference `_make_pretrained` analogue,
+# pretrained_builder.py:118-195). Normalization stats come from the
+# registry per backbone (constants.py:67-104 + projector.py:9-28 parity).
 BACKBONES = {
     "vgg16_proj": (VGG16Features, _IMAGENET_MEAN, _IMAGENET_STD),
-    "deit_base_distilled_patch16_224":
-        (DeiTFeatures, _IMAGENET_MEAN, _IMAGENET_STD),
-    "tf_efficientnet_lite0":
-        (EfficientNetLite0Features, _INCEPTION_MEAN, _INCEPTION_STD),
 }
+
+
+def resolve_backbone(name: str):
+    """name → (module factory, mean, std) via BACKBONES or the registry."""
+    if name in BACKBONES:
+        return BACKBONES[name]
+    spec = fn_registry.get_spec(name)
+    return spec.make, spec.mean, spec.std
 
 
 class FeatureProjector(nn.Module):
@@ -66,7 +72,7 @@ class FeatureProjector(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
-        module = BACKBONES[self.backbone][0]
+        module = resolve_backbone(self.backbone)[0]
         feats = module(name="backbone")(x)
         if self.backbone == "vgg16_proj":
             feats = feats[1:]  # 4 stages: /2../16
@@ -232,7 +238,7 @@ class ProjectedSetDiscriminator(nn.Module):
                 x_aug = x_flat
             r_aug = r_flat
 
-            mean, std = BACKBONES[bb][1], BACKBONES[bb][2]
+            _, mean, std = resolve_backbone(bb)
 
             def norm(v):
                 v = (v + 1) / 2

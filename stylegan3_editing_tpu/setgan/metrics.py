@@ -27,6 +27,13 @@ class FeatureStats:
         self.num = 0
         self._sum = None
         self._outer = None
+        self._synced = False
+
+    def _init_zero(self, dim: int):
+        """Allocate zero moments (for classes another host saw first)."""
+        self.dim = dim
+        self._sum = np.zeros(dim)
+        self._outer = np.zeros((dim, dim))
 
     def append(self, feats: np.ndarray):
         feats = np.asarray(feats, np.float64)
@@ -55,11 +62,13 @@ class FeatureStats:
         (metric_utils.py:162-173 `append_torch` all_gather): instead of
         gathering raw features, the sufficient statistics (count, Σx, Σxxᵀ)
         are all-reduced once — O(D²) traffic instead of O(N·D). No-op in a
-        single-process run."""
+        single-process run. Idempotent: a second call (e.g. compute('agg')
+        then compute('sfid')) must not re-sum already-summed statistics."""
         import jax
 
-        if jax.process_count() == 1 or self._sum is None:
+        if jax.process_count() == 1 or self._sum is None or self._synced:
             return self
+        self._synced = True
         from jax.experimental import multihost_utils
 
         packed = np.concatenate(
@@ -106,10 +115,48 @@ class ConditionalFID:
     def append_fake(self, cls: int, images: np.ndarray):
         self._append(self.fake, cls, images)
 
-    def compute(self, mode: str = "agg") -> float:
+    def _sync_stores(self):
+        """Cross-host sync over a DETERMINISTIC union of classes.
+
+        Each host may have seen a different class subset; syncing only local
+        classes would mismatch collective call counts across hosts and hang
+        the allgather. Agree on the union first (allgather of padded class-id
+        lists), create zero-stats for locally-missing classes, then sync every
+        class in sorted order so all hosts issue identical collectives."""
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stores = (self.real, self.fake)
+            counts = np.array(
+                [len(s) for s in stores]
+                + [next((st.dim for st in s.values() if st.dim is not None), 0)
+                   for s in stores], np.int64)
+            all_counts = np.asarray(
+                multihost_utils.process_allgather(counts, tiled=False))
+            cap = max(1, int(all_counts[:, :2].max()))
+            padded = np.full((2, cap), -1, np.int64)
+            for i, s in enumerate(stores):
+                ids = sorted(s)
+                padded[i, :len(ids)] = ids
+            all_ids = np.asarray(
+                multihost_utils.process_allgather(padded, tiled=False))
+            dims = all_counts[:, 2:].max(axis=0)  # per-store feature dim
+            for i, store in enumerate(stores):
+                union = sorted(int(c) for c in np.unique(all_ids[:, i, :])
+                               if c >= 0)
+                for cls in union:
+                    st = store.setdefault(
+                        cls, FeatureStats(max_items=self.max_items))
+                    if st._sum is None and dims[i] > 0:
+                        st._init_zero(int(dims[i]))
         for store in (self.real, self.fake):
-            for stats in store.values():
-                stats.sync_across_hosts()
+            for cls in sorted(store):
+                store[cls].sync_across_hosts()
+
+    def compute(self, mode: str = "agg") -> float:
+        self._sync_stores()
         classes = sorted(set(self.real) & set(self.fake))
         assert classes, "no overlapping classes with stats"
         if mode == "sfid":

@@ -271,7 +271,7 @@ class SetGANTrainer:
         (runtime.training_stats.psum_moments), under shard_map so the
         collective is explicit — not left to the GSPMD partitioner."""
         try:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
         except ImportError:  # newer jax
             from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -295,19 +295,38 @@ class SetGANTrainer:
     # ------------------------------------------------------------ stepping
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """One G+D step. `batch` is this PROCESS's local shard (= the global
+        batch in single-process runs; in multi-host runs each host feeds its
+        rows and `put_global_batch` assembles the global sharded arrays —
+        the reference instead sharded via InfiniteSampler rank/replicas,
+        torch_utils/misc.py:113-147)."""
+        from ..parallel.multiprocess import put_global_batch
+
         cfg = self.cfg
         dp = self.mesh.shape["data"]
-        assert batch["reference"].shape[0] % dp == 0, (
-            f"global batch {batch['reference'].shape[0]} must divide the "
+        pc = jax.process_count()
+        local_b = batch["reference"].shape[0]
+        global_b = local_b * pc
+        assert global_b % dp == 0, (
+            f"global batch {global_b} must divide the "
             f"'data' mesh axis ({dp})")
         data_shard = batch_sharding(self.mesh)
-        batch = {k: (jax.device_put(jnp.asarray(v), data_shard)
+        # Candidate count for ADA, from the LOCAL mask (a global sharded
+        # array is not host-summable in multi-process runs).
+        local_c_eff = (int(np.sum(batch["cand_mask"])) if "cand_mask" in batch
+                       else local_b * batch["candidate"].shape[1])
+        batch = {k: (put_global_batch(data_shard, v)
                      if k != "classes" else v) for k, v in batch.items()}
-        b, c_max = batch["candidate"].shape[:2]
+        c_max = batch["candidate"].shape[1]
         self._rng, kz, kd, kg = jax.random.split(self._rng, 4)
-        z = jax.device_put(
-            jax.random.normal(kz, (b, c_max, self.decoder_cfg.z_dim)),
-            data_shard)
+        # Same key on every host → identical global z; each host contributes
+        # its row block so the shards agree.
+        z_np = np.asarray(jax.random.normal(
+            kz, (global_b, c_max, self.decoder_cfg.z_dim)))
+        z = put_global_batch(
+            data_shard,
+            z_np[jax.process_index() * local_b:
+                 (jax.process_index() + 1) * local_b] if pc > 1 else z_np)
 
         # Quantize the fading sigma so the jitted steps recompile a bounded
         # number of times across the fade (static blur taps).
@@ -319,12 +338,20 @@ class SetGANTrainer:
 
         ada_p = jnp.asarray(self.ada.state.p if self.ada else 0.0,
                             jnp.float32)
-        self.d_vars["params"], self.d_opt, d_stats = self._d_step(
-            self.d_vars["params"], self.d_opt, self.g_vars["params"], batch,
-            z, kd, ada_p, blur_sigma=blur_sigma)
-        self.g_vars["params"], self.g_opt, g_stats, self.pl_mean = self._g_step(
-            self.g_vars["params"], self.g_opt, self.d_vars["params"], batch,
-            z, kg, self.pl_mean, ada_p, blur_sigma=blur_sigma, do_pl=do_pl)
+        # Per-phase trace scopes (reference record_function phases,
+        # setgan/training_loop.py:304-309, :445); host times drain into the
+        # tick stats as Timing/*.
+        from ..runtime.profiling import profiled_scope
+        with profiled_scope("Dmain"):
+            self.d_vars["params"], self.d_opt, d_stats = self._d_step(
+                self.d_vars["params"], self.d_opt, self.g_vars["params"],
+                batch, z, kd, ada_p, blur_sigma=blur_sigma)
+        with profiled_scope("Gmain"):
+            self.g_vars["params"], self.g_opt, g_stats, self.pl_mean = \
+                self._g_step(
+                    self.g_vars["params"], self.g_opt, self.d_vars["params"],
+                    batch, z, kg, self.pl_mean, ada_p,
+                    blur_sigma=blur_sigma, do_pl=do_pl)
 
         # G_ema (beta from ema_kimg, training_loop.py:467-476).
         ema_nimg = cfg.ema_kimg * 1000
@@ -338,10 +365,8 @@ class SetGANTrainer:
         # ADA p adaptation from this step's real-logit signs
         # (reference training_loop.py:482-486).
         if self.ada is not None:
-            c_eff = int(np.sum(batch["cand_mask"])) if "cand_mask" in batch \
-                else batch["candidate"].shape[0] * batch["candidate"].shape[1]
             metrics["Progress/augment"] = self.ada.update(
-                metrics["Loss/signs/real"], c_eff)
+                metrics["Loss/signs/real"], local_c_eff * pc)
         self.stats.update(metrics)
         return metrics
 
@@ -393,6 +418,7 @@ class SetGANTrainer:
                 grid_refs = np.asarray(batch["reference"][:4])
             metrics = self.train_step(batch)
             if self.cur_nimg >= next_tick or self.cur_nimg >= total_nimg:
+                from ..runtime.profiling import drain_scope_times
                 now = time.time()
                 entry = {
                     "tick": self.cur_tick,
@@ -401,6 +427,8 @@ class SetGANTrainer:
                     "sec_per_kimg": round((now - t_tick) /
                                           max(tick_nimg / 1000, 1e-8), 2),
                     "total_hours": round((now - t_start) / 3600, 3),
+                    **{f"Timing/{k}": round(v, 4)
+                       for k, v in drain_scope_times().items()},
                     **{k: round(self.stats.mean(k), 4)
                        for k in self.stats.names()},
                 }
@@ -442,6 +470,8 @@ class SetGANTrainer:
     # --------------------------------------------------------- checkpoints
 
     def snapshot(self, path) -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # reference: rank 0 writes (training_loop.py:548-588)
         tree = {"g_vars": self.g_vars, "d_vars": self.d_vars,
                 "g_ema_params": self.g_ema_params,
                 "g_opt": self.g_opt, "d_opt": self.d_opt,

@@ -413,11 +413,16 @@ class Coach:
         # (reference coach_restyle_psp.py:277-319 parse_and_log_images).
         from ..runtime.events import EventWriter, save_image_grid
         writer = EventWriter(Path(opts.exp_dir) / "logs")
+        from ..runtime.profiling import drain_scope_times, profiled_scope
         for batch in train_iter:
-            metrics = self.train_step(batch)
+            with profiled_scope("coach_step"):
+                metrics = self.train_step(batch)
             if self.global_step % opts.board_interval == 0:
                 entry = {"step": self.global_step,
-                         "time": round(time.time() - start, 2), **metrics}
+                         "time": round(time.time() - start, 2),
+                         **{f"Timing/{k}": round(v, 4)
+                            for k, v in drain_scope_times().items()},
+                         **metrics}
                 with open(log_path, "a") as f:
                     f.write(json.dumps(entry) + "\n")
                 writer.scalars(metrics, step=self.global_step)
@@ -449,6 +454,8 @@ class Coach:
     # --------------------------------------------------------- checkpoints
 
     def checkpoint(self, path) -> None:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # multi-host: process 0 writes
         tree = {"variables": self.variables, "opt_state": self.opt_state,
                 "latent_avg": self.latent_avg}
         if self.disc is not None:

@@ -115,3 +115,33 @@ def test_conditional_metrics_registry():
     out = cm.report_metrics("val", lambda cls, n: RNG.randn(n, 2, 2, 2) + 0.3)
     assert set(out) == {"fid_agg", "fid_s"}
     assert all(np.isfinite(v) and v > 0 for v in out.values())
+
+
+def test_profiling_scopes_and_trace(tmp_path):
+    """profiled_scope accumulates host times; jax.profiler trace capture
+    lands a profile dump (reference misc.profiled_function analogue,
+    torch_utils/misc.py:102-110)."""
+    import jax.numpy as jnp
+
+    from stylegan3_editing_tpu.runtime.profiling import (
+        drain_scope_times, maybe_start_trace, profiled_function,
+        profiled_scope, stop_trace)
+
+    assert maybe_start_trace(str(tmp_path / "trace"))
+    with profiled_scope("phase_a"):
+        jnp.square(jnp.arange(8)).block_until_ready()
+
+    @profiled_function
+    def work():
+        return jnp.sum(jnp.ones((4, 4)))
+
+    work()
+    out = stop_trace()
+    assert out is not None
+    times = drain_scope_times()
+    assert "phase_a" in times and times["phase_a"] > 0
+    assert any(k.endswith("work") for k in times)
+    assert drain_scope_times() == {}  # drained
+    import pathlib
+    dumped = list(pathlib.Path(out).rglob("*"))
+    assert dumped, "no trace files written"

@@ -286,6 +286,43 @@ def test_standalone_pkl_rejects_unknown_globals(tmp_path):
         load_network_pkl(p)
 
 
+def test_standalone_pkl_rejects_builtins_payloads(tmp_path):
+    """Module-prefix allowlisting is not enough: builtins.eval / getattr /
+    exec must be refused even though safe builtin constructors (dict, set)
+    are allowed (ADVICE r2: a crafted pickle resolved builtins.eval)."""
+    import pickle
+
+    import pytest
+
+    from stylegan3_editing_tpu.models.sg3.persistence import load_network_pkl
+
+    marker = tmp_path / "pwned"
+
+    class EvalEvil:
+        def __reduce__(self):
+            return eval, (f"open({str(marker)!r}, 'w').close()",)
+
+    class GetattrEvil:
+        def __reduce__(self):
+            # resolving builtins.getattr at all must be refused
+            return getattr, ("x", "upper")
+
+    for evil in (EvalEvil(), GetattrEvil()):
+        p = tmp_path / "evil.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"G_ema": evil}, f)
+        with pytest.raises(pickle.UnpicklingError, match="not allowlisted"):
+            load_network_pkl(p)
+    assert not marker.exists()
+
+    # Safe builtin constructors still resolve.
+    p = tmp_path / "ok.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"G_ema": {"classes": {1, 2}, "rng": range(3)}}, f)
+    data = load_network_pkl(p)
+    assert data["G_ema"]["classes"] == {1, 2}
+
+
 def test_tf1_legacy_conversion(tmp_path, fake_persistence_modules):
     """TF1 triple → torch-style networks_stylegan2 state naming
     (legacy.py:110-208 remap rules: Dense transpose, HWIO→OIHW, up-conv
@@ -352,3 +389,56 @@ def test_tf1_legacy_conversion(tmp_path, fake_persistence_modules):
     assert "synthesis.b8.torgb.affine.bias" in sd
     assert sd["synthesis.b4.const"].shape == (16, 4, 4)
     assert sd["synthesis.b4.conv1.noise_const"].shape == (4, 4)
+
+
+def test_tf1_progressive_torgb_lod_remap(tmp_path, fake_persistence_modules):
+    """Old progressive-growing 'ToRGB_lod*' names must be remapped BEFORE
+    synthesis extraction so their weights land in the output state dict
+    (ADVICE r2: remap ran after the conv loop and was silently dropped).
+    Reference legacy.py remaps first."""
+    import pickle
+
+    from stylegan3_editing_tpu.models.sg3.persistence import load_network_pkl
+
+    rng = np.random.RandomState(1)
+
+    def tf_net():
+        import dnnlib.tflib.network as n
+
+        torgb_w = rng.randn(1, 1, 16, 3).astype(np.float32)
+        variables = [
+            ("synthesis/4x4/Const/const",
+             rng.randn(1, 16, 4, 4).astype(np.float32)),
+            ("synthesis/4x4/Conv/weight",
+             rng.randn(3, 3, 16, 16).astype(np.float32)),
+            ("synthesis/4x4/Conv/bias", rng.randn(16).astype(np.float32)),
+            ("synthesis/4x4/Conv/mod_weight",
+             rng.randn(8, 16).astype(np.float32)),
+            ("synthesis/4x4/Conv/mod_bias", rng.randn(16).astype(np.float32)),
+            # lod1 at res 8 → 8//2 = 4: ToRGB for the 4x4 block
+            ("ToRGB_lod1/weight", torgb_w),
+            ("ToRGB_lod1/bias", rng.randn(3).astype(np.float32)),
+            ("ToRGB_lod1/mod_weight", rng.randn(8, 16).astype(np.float32)),
+            ("ToRGB_lod1/mod_bias", rng.randn(16).astype(np.float32)),
+        ]
+        obj = n.Network.__new__(n.Network)
+        obj.__dict__.update(
+            {"version": 4, "name": "G",
+             "static_kwargs": {"latent_size": 8, "dlatent_size": 8,
+                               "resolution": 8},
+             "components": {}, "variables": variables})
+        return obj, torgb_w
+
+    net, torgb_w = tf_net()
+    net2, _ = tf_net()
+    net3, _ = tf_net()
+    p = tmp_path / "tf_prog.pkl"
+    with open(p, "wb") as f:
+        pickle.dump((net, net2, net3), f)
+
+    sd = load_network_pkl(p)["G"]  # first net — matches captured torgb_w
+    assert "synthesis.b4.torgb.weight" in sd, sorted(sd)
+    np.testing.assert_allclose(
+        sd["synthesis.b4.torgb.weight"],
+        np.transpose(torgb_w, (3, 2, 0, 1)))
+    assert "synthesis.b4.torgb.affine.bias" in sd

@@ -261,3 +261,63 @@ def test_fused_filtered_lrelu_unsupported_configs():
                                 1.0, 0.2, None) is None
     assert fused_filtered_lrelu(x, None, f, None, 2, 2, (0, 0, 0, 0),
                                 1.0, 0.2, None) is None
+
+
+# ---------------------------------------------------------- conv2d_resample
+
+class TestConv2dResample:
+    """Parity vs the reference torch conv2d_resample (impl='ref' CPU ops) —
+    every fast path: 1×1 up/down, strided down, transpose up, plain."""
+
+    CASES = [
+        # (kh, up, down, padding, groups, flip_weight)
+        (1, 1, 2, 0, 1, True),    # 1×1 down-first
+        (1, 2, 1, 0, 1, True),    # 1×1 conv-first + up
+        (3, 1, 2, 1, 1, True),    # strided down conv
+        (3, 2, 1, 1, 1, True),    # transpose up conv
+        (3, 2, 1, 1, 1, False),   # transpose up, convolution convention
+        (3, 2, 2, 1, 1, True),    # up then down
+        (3, 1, 1, 1, 1, True),    # plain symmetric padding
+        (3, 1, 1, (1, 0, 2, 1), 1, True),  # generic fallback (asym pad)
+        (3, 2, 1, 1, 2, True),    # grouped transpose up
+    ]
+
+    @pytest.mark.parametrize("kh,up,down,padding,groups,flip_weight", CASES)
+    def test_parity_with_reference(self, kh, up, down, padding, groups,
+                                   flip_weight):
+        import os
+        import sys
+
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference checkout not available")
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        torch = pytest.importorskip("torch")
+        os.environ.setdefault("SG3_NO_CUDA", "1")
+        from torch_utils.ops import conv2d_resample as ref_mod
+        from torch_utils.ops.upfirdn2d import setup_filter as ref_setup
+
+        from stylegan3_editing_tpu.ops.conv2d_resample import conv2d_resample
+        from stylegan3_editing_tpu.ops.filter_design import setup_filter
+
+        rng = np.random.RandomState(kh * 100 + up * 10 + down + groups)
+        n, c_in, c_out, size = 2, 6, 4, 16
+        x = rng.randn(n, size, size, c_in).astype(np.float32)
+        w = rng.randn(kh, kh, c_in // groups, c_out).astype(np.float32) * 0.3
+        taps = rng.rand(4).astype(np.float32) + 0.1
+
+        f_ref = ref_setup(torch.from_numpy(taps))
+        with torch.no_grad():
+            want = ref_mod.conv2d_resample(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                torch.from_numpy(w.transpose(3, 2, 0, 1)).contiguous(),
+                f=f_ref, up=up, down=down, padding=padding, groups=groups,
+                flip_weight=flip_weight)
+        want = want.numpy().transpose(0, 2, 3, 1)
+
+        got = conv2d_resample(
+            jnp.asarray(x), jnp.asarray(w), f=setup_filter(taps),
+            up=up, down=down, padding=padding, groups=groups,
+            flip_weight=flip_weight)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-4)

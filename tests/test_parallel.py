@@ -87,3 +87,77 @@ def test_dryrun_multichip_entrypoint():
         env=env, capture_output=True, text=True, timeout=2700)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "one SetGAN G+D train step OK" in out.stdout
+
+
+# --------------------------------------------- spatial (H) sharding + halo
+
+def spatial_tiny_cfg():
+    # SG3-R preset (conv_kernel=1 — the spatial-sharding envelope); all
+    # canvas sizes (36/52/32) divide the 2- and 4-way shard counts below.
+    from stylegan3_editing_tpu.models.sg3 import sg3_r_config
+    return sg3_r_config(32, channel_base=1024, channel_max=128,
+                        num_layers=4, num_critical=2, use_bf16=False)
+
+
+@pytest.mark.parametrize("shards", [2, 4])
+def test_spatial_synthesis_matches_unsharded(shards):
+    """H-sharded synthesis with ppermute halo exchange is EXACT vs the
+    unsharded forward (VERDICT r2 #3)."""
+    from stylegan3_editing_tpu.parallel.spatial import spatial_synthesis
+
+    cfg = spatial_tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(1), z[:1])
+    ws = model.apply(variables, z, method=model.map)
+    want = model.apply(variables, ws, method=model.synthesize)
+
+    mesh = create_mesh(shape=(8 // shards, 1, shards),
+                       axis_names=("data", "model", "space"))
+    got = spatial_synthesis(cfg, variables, ws, mesh, axis="space")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_filtered_lrelu_exact_radial():
+    """Single-op exactness incl. a radial (2-D SVD-separable) down filter
+    and ×4 up — the L10-style geometry."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from stylegan3_editing_tpu.models.sg3.config import build_synthesis_layout
+    from stylegan3_editing_tpu.ops.filtered_lrelu import filtered_lrelu
+    from stylegan3_editing_tpu.parallel.spatial import spatial_filtered_lrelu
+
+    cfg = spatial_tiny_cfg()
+    layout = build_synthesis_layout(cfg)
+    shards = 4
+    mesh = create_mesh(shape=(2, 1, shards),
+                       axis_names=("data", "model", "space"))
+    rng = np.random.RandomState(0)
+    for spec in layout.layers:
+        if spec.up_factor == 1 and spec.down_factor == 1:
+            continue
+        x = jnp.asarray(rng.randn(1, spec.in_size[1], spec.in_size[0],
+                                  8).astype(np.float32))
+        b = jnp.asarray(rng.randn(8).astype(np.float32))
+        want = filtered_lrelu(
+            x, fu=spec.up_filter, fd=spec.down_filter, b=b,
+            up=spec.up_factor, down=spec.down_factor, padding=spec.padding,
+            gain=np.sqrt(2), slope=0.2, clamp=spec.conv_clamp)
+
+        fn = shard_map(
+            partial(spatial_filtered_lrelu,
+                    fu=spec.up_filter, fd=spec.down_filter, b=b,
+                    up=spec.up_factor, down=spec.down_factor,
+                    padding=spec.padding, gain=float(np.sqrt(2)), slope=0.2,
+                    clamp=spec.conv_clamp, axis_name="space", shards=shards,
+                    H_global=spec.in_size[1]),
+            mesh=mesh, in_specs=P(None, "space"), out_specs=P(None, "space"),
+            check_rep=False)
+        got = fn(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=spec.name)

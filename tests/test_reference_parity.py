@@ -144,3 +144,64 @@ def test_npz_roundtrip(ref_generator, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_sg2_stem_parity_with_reference():
+    """NVIDIA-convention SG2 stem vs the reference networks_stylegan2
+    Generator (impl='ref' CPU ops) with converted weights at tiny res
+    (VERDICT r2 #7). Covers the w-broadcast layout (ToRGB consumes the NEXT
+    w) and the up-conv/blur composition."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    torch = pytest.importorskip("torch")
+    from models.styleganxl.training.networks_stylegan2 import (
+        Generator as TorchSG2)
+
+    from stylegan3_editing_tpu.models.sg2_stem import (
+        SG2Config, SG2Generator, convert_sg2_state)
+
+    res, wd = 16, 32
+    tg = TorchSG2(z_dim=wd, c_dim=0, w_dim=wd, img_resolution=res,
+                  img_channels=3, channel_base=1024, channel_max=64,
+                  mapping_kwargs={"num_layers": 2}, num_fp16_res=0,
+                  conv_clamp=None)
+    tg.eval()
+    state = {k: v.detach().numpy() for k, v in tg.state_dict().items()}
+
+    cfg = SG2Config(z_dim=wd, w_dim=wd, img_resolution=res,
+                    channel_base=1024, channel_max=64, mapping_layers=2,
+                    num_fp16_res=0, use_bf16=False, conv_clamp=None)
+    model = SG2Generator(cfg)
+    assert cfg.num_ws == tg.num_ws, (cfg.num_ws, tg.num_ws)
+
+    rng = np.random.RandomState(0)
+    ws_np = rng.randn(2, tg.num_ws, wd).astype(np.float32)
+
+    with torch.no_grad():
+        want = tg.synthesis(torch.from_numpy(ws_np), noise_mode="none",
+                            force_fp32=True)
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, wd)))
+    converted = convert_sg2_state(state, cfg)
+    merged = dict(variables)
+    merged["params"] = _merge_trees(variables["params"],
+                                    converted["params"])
+    got = model.apply(merged, jnp.asarray(ws_np), method=model.synthesize,
+                      force_fp32=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def _merge_trees(dst, src):
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_trees(out[k], v)
+        else:
+            assert k in out, f"converter produced unknown param {k}"
+            assert np.shape(out[k]) == np.shape(v), (k, np.shape(out[k]),
+                                                     np.shape(v))
+            out[k] = v
+    return out
