@@ -1,0 +1,153 @@
+"""Steady-state 1024² training step times on the TPU chip.
+
+Publishes POST-COMPILE sec/step (VERDICT r2 #2) for:
+  (a) one 1024² PTI step   — LPIPS-free L2 tuning step over synthesis
+      params (reference hot loop: run_pti_images.py:130-143);
+  (b) one 1024² ReStyle-coach encoder step — encoder backward through a
+      1024² decode (reference coach_restyle_psp.py:91-112).
+
+Timing: chained fori_loop + forced scalar transfer (block_until_ready is a
+no-op under axon). Each step includes the full forward+backward+optimizer.
+
+Usage: python scripts/bench_train_steps.py [--what pti|coach|both]
+               [--iters 3] [--backward fused|composed]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sg3tpu_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+
+def bench_pti(iters: int) -> float:
+    from stylegan3_editing_tpu.models.sg3 import Generator, sg3_r_config
+
+    cfg = sg3_r_config(1024)
+    model = Generator(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, cfg.z_dim)))
+    params = variables["params"]
+    # PTI trains synthesis minus the Fourier input (run_pti_images.py:111).
+    trainable = {"synthesis": {k: v for k, v in params["synthesis"].items()
+                               if k != "input"}}
+    frozen = {"mapping": params["mapping"],
+              "synthesis": {"input": params["synthesis"]["input"]}}
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(trainable)
+
+    ws = jax.jit(lambda v, z: model.apply(v, z, method=model.map))(
+        variables, jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim)))
+    target = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+
+    def merge(tr):
+        syn = dict(tr["synthesis"])
+        syn["input"] = frozen["synthesis"]["input"]
+        return {"mapping": frozen["mapping"], "synthesis": syn}
+
+    def loss_fn(tr):
+        img = model.apply({**rest, "params": merge(tr)}, ws,
+                          method=model.synthesize)
+        return jnp.mean(jnp.square(img - target))
+
+    def body(tr, opt_state, seed):
+        def step(i, carry):
+            tr, opt_state, acc = carry
+            loss, grads = jax.value_and_grad(loss_fn)(tr)
+            updates, opt_state = tx.update(grads, opt_state, tr)
+            tr = optax.apply_updates(tr, updates)
+            return tr, opt_state, acc + loss
+        tr, opt_state, acc = lax.fori_loop(
+            0, iters, step, (tr, opt_state, jnp.float32(seed) * 0))
+        return acc
+
+    run = jax.jit(body)
+    t0 = time.perf_counter()
+    float(run(trainable, opt_state, 0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(trainable, opt_state, 1))
+    per_step = (time.perf_counter() - t0) / iters
+    print(f"PTI 1024^2: {per_step:.2f} s/step post-compile "
+          f"(compile+first {compile_s:.0f} s, {iters} chained steps)")
+    return per_step
+
+
+def bench_coach(iters: int) -> float:
+    """Encoder step: IR-SE encoder forward/backward + frozen 1024² decode."""
+    from stylegan3_editing_tpu.models.encoders.backbones import (
+        BackboneEncoder)
+    from stylegan3_editing_tpu.models.sg3 import Generator, sg3_r_config
+
+    cfg = sg3_r_config(1024)
+    dec = Generator(cfg)
+    dec_vars = jax.jit(dec.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, cfg.z_dim)))
+    enc = BackboneEncoder(n_styles=cfg.num_ws)
+    x6 = jnp.zeros((1, 256, 256, 6))
+    enc_vars = jax.jit(enc.init)(jax.random.PRNGKey(1), x6)
+    latent_avg = dec_vars["ema"]["mapping"]["w_avg"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(enc_vars["params"])
+    target = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+
+    def loss_fn(ep, x):
+        codes = enc.apply({**enc_vars, "params": ep}, x)
+        codes = codes + latent_avg[None, None]
+        img = dec.apply(dec_vars, codes, method=dec.synthesize)
+        return jnp.mean(jnp.square(img - target))
+
+    def body(ep, opt_state, seed):
+        def step(i, carry):
+            ep, opt_state, acc = carry
+            x = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(2), i), (1, 256, 256, 6))
+            loss, grads = jax.value_and_grad(loss_fn)(ep, x)
+            updates, opt_state = tx.update(grads, opt_state, ep)
+            ep = optax.apply_updates(ep, updates)
+            return ep, opt_state, acc + loss
+        ep, opt_state, acc = lax.fori_loop(
+            0, iters, step, (ep, opt_state, jnp.float32(seed) * 0))
+        return acc
+
+    run = jax.jit(body)
+    t0 = time.perf_counter()
+    float(run(enc_vars["params"], opt_state, 0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(enc_vars["params"], opt_state, 1))
+    per_step = (time.perf_counter() - t0) / iters
+    print(f"coach-encoder 1024^2: {per_step:.2f} s/step post-compile "
+          f"(compile+first {compile_s:.0f} s, {iters} chained steps)")
+    return per_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="both", choices=("pti", "coach", "both"))
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--backward", default="fused",
+                    choices=("fused", "composed"))
+    args = ap.parse_args()
+    if args.backward == "composed":
+        os.environ["SG3TPU_FLRELU_IMPL"] = "xla"
+    if args.what in ("pti", "both"):
+        bench_pti(args.iters)
+    if args.what in ("coach", "both"):
+        bench_coach(args.iters)
+
+
+if __name__ == "__main__":
+    main()

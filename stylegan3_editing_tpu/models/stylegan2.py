@@ -154,14 +154,23 @@ class SG2Generator(nn.Module):
     def n_latent(self) -> int:
         return int(math.log(self.size, 2)) * 2 - 2
 
-    def mapping(self, z: jax.Array) -> jax.Array:
-        """z → w (the rosinality `style` MLP)."""
-        w = pixel_norm(z.astype(jnp.float32))
-        for i in range(self.n_mlp):
-            w = FullyConnected(self.style_dim, activation="lrelu",
+    def _style_fcs(self):
+        return [FullyConnected(self.style_dim, activation="lrelu",
                                lr_multiplier=self.lr_mlp,
-                               name=f"style_{i}")(w)
+                               name=f"style_{i}")
+                for i in range(self.n_mlp)]
+
+    @staticmethod
+    def _map_through(fcs, z: jax.Array) -> jax.Array:
+        w = pixel_norm(z.astype(jnp.float32))
+        for fc in fcs:
+            w = fc(w)
         return w
+
+    @nn.compact
+    def mapping(self, z: jax.Array) -> jax.Array:
+        """z → w (the rosinality `style` MLP; standalone entry point)."""
+        return self._map_through(self._style_fcs(), z)
 
     @nn.compact
     def __call__(self, z=None,
@@ -183,8 +192,9 @@ class SG2Generator(nn.Module):
         if styles is None:
             assert z is not None
             zs = list(z) if isinstance(z, (list, tuple)) else [z]
+            fcs = self._style_fcs()  # one set of submodules, reused per z
             ws = [jnp.asarray(s, jnp.float32) if input_is_latent
-                  else self.mapping(s) for s in zs]
+                  else self._map_through(fcs, s) for s in zs]
             if truncation != 1.0 and truncation_latent is not None:
                 ws = [truncation_latent + truncation * (w - truncation_latent)
                       for w in ws]

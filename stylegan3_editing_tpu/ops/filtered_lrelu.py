@@ -120,6 +120,20 @@ def filtered_lrelu(
 
             def bwd(res, dy):
                 xc, bc = res
+                if jax.default_backend() == "tpu":
+                    # Fused one-kernel backward (reference: the same CUDA
+                    # kernel with swapped filters + sign read,
+                    # filtered_lrelu.py:253-264; here A is recomputed per
+                    # tile in VMEM instead of storing a sign tensor).
+                    from .pallas_flrelu import fused_filtered_lrelu_bwd
+
+                    dx = fused_filtered_lrelu_bwd(
+                        dy, xc, fu_np, fd_np, bc, up, down,
+                        (px0, px1, py0, py1), gain=gain, slope=slope,
+                        clamp=clamp)
+                    if dx is not None:
+                        db = jnp.sum(dx.astype(jnp.float32), axis=(0, 1, 2))
+                        return dx, db.astype(bc.dtype)
                 _, vjp_fn = jax.vjp(composed, xc, bc)
                 return vjp_fn(dy)
 

@@ -268,7 +268,7 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
 
 def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
                 w_align: int = 16,
-                budget: int = 40 * 2 ** 20,
+                budget: int = 9 * 2 ** 20,
                 len_out_h: Optional[int] = None,
                 len_out_w: Optional[int] = None) -> Tuple[int, int]:
     """Largest square-ish (TM, TW) whose VMEM footprint fits the budget.
@@ -296,8 +296,11 @@ def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
         planes = (u * in_tile * q + u * u * q * q) * c_block * 4
         down = 2 * u * q * max(tm, tw) * c_block * 4
         out = tm * tw * c_block * esize
-        # 2× x: double-buffered input DMA scratch.
-        if 2 * x_bytes + planes + down + out <= budget:
+        # Measured (BASELINE.md round-3): tiles beyond the 9 MB working set
+        # run SLOWER despite ~128 MB of physical VMEM — Mosaic scheduling
+        # degrades with large resident plane sets — so the budget is a
+        # tuning knob, not a capacity limit.
+        if x_bytes + planes + down + out <= budget:
             return tm, tw
     return step, w_step
 
@@ -334,18 +337,23 @@ def fused_filtered_lrelu(
         return None
 
     if up == 4:
-        # Route ×4 layers through the ×2 kernel: zero-stuff ×2 on the host
-        # (an interior lax.pad XLA fuses into the producing op), then the
-        # remaining ×2 up + 24-tap FIR runs fused. Bias must land on real
-        # pixels only, so it is pre-added before stuffing; the extra ×2 of
-        # the ×4 per-axis up-gain folds into the taps.
-        if b is not None:
-            x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
-        x = jax.lax.pad(x, jnp.zeros((), x.dtype),
-                        [(0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)])
-        return fused_filtered_lrelu(
-            x, fu * 2.0, fd, None, 2, down, padding, gain, slope, clamp,
-            c_block=c_block, interpret=interpret)
+        import os
+
+        if os.environ.get("SG3TPU_FLRELU_U4", "stuff") == "stuff":
+            # Default route: zero-stuff ×2 on the host, run the ×2 kernel.
+            # The native 4-phase path (SG3TPU_FLRELU_U4=native) avoids the
+            # 4× input DMA and the taps on stuffed zeros and is
+            # golden-exact on CPU, but its 16-plane unrolled Mosaic kernel
+            # WEDGES this environment's remote compile helper (>45 min for
+            # one geometry, round 3) — opt-in until the compile cost is
+            # tamed (e.g. rolled tap loops).
+            if b is not None:
+                x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
+            x = jax.lax.pad(x, jnp.zeros((), x.dtype),
+                            [(0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 0, 0)])
+            return fused_filtered_lrelu(
+                x, fu * 2.0, fd, None, 2, down, padding, gain, slope, clamp,
+                c_block=c_block, interpret=interpret)
     px0, px1, py0, py1 = padding
 
     # Lane-occupancy fold: merge batch into the channel (lane) axis when
@@ -359,7 +367,9 @@ def fused_filtered_lrelu(
     def _occ(ch):
         return ch / (-(-ch // c_block) * c_block)
 
-    if n0 > 1 and _occ(n0 * c0) > _occ(c0) + 1e-9:
+    import os as _os
+    fold_on = _os.environ.get("SG3TPU_FLRELU_FOLD", "1") == "1"
+    if fold_on and n0 > 1 and _occ(n0 * c0) > _occ(c0) + 1e-9:
         xt = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h0, w0, n0 * c0)
         bt = None if b is None else jnp.tile(b, n0)
         out = fused_filtered_lrelu(
@@ -441,3 +451,294 @@ def fused_filtered_lrelu(
         interpret=interpret,
     )(xp, bias)
     return out[:, :plan_h.len_out, :plan_w.len_out, :c]
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_decode_step(k, dims):
+    return _decode_step(k, dims)
+
+
+def _flrelu_bwd_kernel(g_ref, x_ref, o_ref, gt, xt, sem, *, plan_g_h,
+                       plan_g_w, plan_m_h, plan_m_w, up_terms, down_taps,
+                       point_gain, slope, gain_f, clamp, u_fwd, dims):
+    """One dx tile per grid step: recompute the forward up-grid A from x,
+    up-sample dy on the same grid, multiply by act'(A), down-FIR.
+
+    TPU equivalent of the reference's sign-reading backward kernel
+    (filtered_lrelu.py:253-264, .cu signRead variants) — instead of a
+    stored 2-bit sign tensor, A is recomputed per tile in VMEM (HBM reads:
+    x tile instead of sign tile; no forward-pass sign write at all).
+    """
+    k = pl.program_id(0)
+    total = pl.num_programs(0)
+    tcg = gt.shape[-1]
+
+    def start_dma(step, slot):
+        n, hb, wb, cb = _decode_step(step, dims)
+        return (
+            pltpu.make_async_copy(
+                g_ref.at[n, pl.ds(plan_g_h.tile_start(hb), plan_g_h.in_tile),
+                         pl.ds(plan_g_w.tile_start(wb), plan_g_w.in_tile),
+                         pl.ds(cb * tcg, tcg)],
+                gt.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_ref.at[n, pl.ds(plan_m_h.tile_start(hb), plan_m_h.in_tile),
+                         pl.ds(plan_m_w.tile_start(wb), plan_m_w.in_tile),
+                         pl.ds(cb * tcg, tcg)],
+                xt.at[slot], sem.at[slot, 1]),
+        )
+
+    slot = k % 2
+
+    @pl.when(k == 0)
+    def _():
+        for c in start_dma(k, slot):
+            c.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for c in start_dma(k + 1, (k + 1) % 2):
+            c.start()
+
+    for c in start_dma(k, slot):
+        c.wait()
+
+    g = gt[slot].astype(jnp.float32)
+    x = xt[slot].astype(jnp.float32)
+
+    # dy up-grid planes (u_b = 2): possibly multi-rank (radial fd).
+    u_b = 2
+    acc_planes = [[None] * u_b for _ in range(u_b)]
+    for fu_col, fu_row in up_terms:
+        w_planes = _up_pass_taps(g, plan_g_w, fu_row, axis=1,
+                                 count=plan_g_w.q_count)
+        for p_w in range(u_b):
+            h_of_w = _up_pass_taps(w_planes[p_w], plan_g_h, fu_col, axis=0,
+                                   count=plan_g_h.q_count)
+            for p_h in range(u_b):
+                prev = acc_planes[p_h][p_w]
+                acc_planes[p_h][p_w] = h_of_w[p_h] if prev is None \
+                    else prev + h_of_w[p_h]
+
+    # Forward A planes from x (u_fwd phases), rearranged to the u_b layout.
+    a_w = _up_pass(x, plan_m_w, axis=1, count=plan_m_w.q_count)
+    a_grid = [[None] * u_fwd for _ in range(u_fwd)]
+    for p_w in range(u_fwd):
+        h_of_w = _up_pass(a_w[p_w], plan_m_h, axis=0,
+                          count=plan_m_h.q_count)
+        for p_h in range(u_fwd):
+            a_grid[p_h][p_w] = h_of_w[p_h]
+
+    def mask_plane(p_h, p_w):
+        """act'(A) on backward plane (p_h, p_w), rows matching plan_g."""
+        if u_fwd == 2:
+            a = a_grid[p_h][p_w]
+            a = a[:plan_g_h.q_count, :plan_g_w.q_count]
+        else:  # u_fwd == 4: interleave (p, p+2) along each axis
+            quads = [[a_grid[p_h + 2 * sh][p_w + 2 * sw]
+                      for sw in range(2)] for sh in range(2)]
+            qh = plan_g_h.q_count
+            qw = plan_g_w.q_count
+            rh = (qh + 1) // 2
+            rw = (qw + 1) // 2
+            rows = []
+            for sh in range(2):
+                cols = [quads[sh][sw][:rh, :rw] for sw in range(2)]
+                rows.append(_interleave(cols, axis=1))
+            a = _interleave(rows, axis=0)[:qh, :qw]
+        pre = jnp.where(a >= 0, a, a * np.float32(slope)) * np.float32(gain_f)
+        factor = jnp.where(a >= 0, np.float32(1.0), np.float32(slope))
+        factor = factor * np.float32(point_gain)
+        if clamp is not None:
+            factor = jnp.where(jnp.abs(pre) <= np.float32(clamp), factor,
+                               np.float32(0.0))
+        return factor
+
+    du = [[acc_planes[p_h][p_w] * mask_plane(p_h, p_w)
+           for p_w in range(u_b)] for p_h in range(u_b)]
+
+    # Stride-2 down-FIR (rank-1 taps: fu is always 1-D separable).
+    th = plan_g_h.tile
+    tw = plan_g_w.tile
+    dw = [_down_pass(du[p_h], down_taps, u_b, axis=1, count=tw)
+          for p_h in range(u_b)]
+    cols = _down_pass([dw[p_h][0] for p_h in range(u_b)], down_taps, u_b,
+                      axis=0, count=th)
+    o_ref[0] = cols[0].astype(o_ref.dtype)
+
+
+def _up_pass_taps(x, plan: _AxisPlan, taps_1d: np.ndarray, axis: int,
+                  count: int):
+    """_up_pass with taps overridden per rank (radial backward filters):
+    phase taps re-derived from `taps_1d` with the plan's pad/phase grid."""
+    planes = []
+    for p in range(plan.u):
+        s0 = (plan.pad0_ - p) % plan.u
+        taps = taps_1d[s0::plan.u]
+        c_p = (p + s0 - plan.pad0_) // plan.u
+        off = c_p - plan.base_in
+        acc = None
+        for j, tap in enumerate(np.asarray(taps, np.float64)):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(off + j, off + j + count)
+            term = x[tuple(idx)] * np.float32(tap)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            shape = list(x.shape)
+            shape[axis] = count
+            acc = jnp.zeros(shape, jnp.float32)
+        planes.append(acc)
+    return planes
+
+
+def fused_filtered_lrelu_bwd(
+    dy: jax.Array,
+    x: jax.Array,
+    fu: np.ndarray,
+    fd: np.ndarray,
+    b: Optional[jax.Array],
+    up: int,
+    down: int,
+    padding: Tuple[int, int, int, int],
+    gain: float,
+    slope: float,
+    clamp: Optional[float],
+    c_block: int = 128,
+    interpret: Optional[bool] = None,
+) -> Optional[jax.Array]:
+    """dx of the fused filtered lrelu, as ONE kernel (reference backward:
+    same CUDA kernel with swapped filters + sign read,
+    filtered_lrelu.py:253-264). Returns None when unsupported.
+
+    Forward envelope: up ∈ {2, 4}, down == 2, fu 1-D, fd 1-D or
+    SVD-separable 2-D. For up == 4 the backward's stride-4 down-pass runs
+    as stride-2 + an XLA slice (phase planes stay contiguous).
+    """
+    from .fir import _separate_2d
+
+    if down != 2 or up not in (2, 4):
+        return None
+    fu = np.asarray(fu, np.float64)
+    fd = np.asarray(fd, np.float64)
+    if fu.ndim != 1:
+        return None
+    px0, px1, py0, py1 = padding
+    n, yh, yw, c = dy.shape
+    _, xh, xw, _ = x.shape
+    dtype = dy.dtype
+    esize = jnp.dtype(dtype).itemsize
+
+    # Backward-op padding (reference filtered_lrelu.py:255-260).
+    tu_w = tu_h = len(fu)
+    td_w, td_h = (len(fd),) * 2 if fd.ndim == 1 else (fd.shape[1], fd.shape[0])
+    pp_x0 = (tu_w - 1) + (td_w - 1) - px0
+    pp_x1 = xw * up - yw * down + px0 - (up - 1)
+    pp_y0 = (tu_h - 1) + (td_h - 1) - py0
+    pp_y1 = xh * up - yh * down + py0 - (up - 1)
+
+    # Up(=2) taps from fd, unflipped (flip_filter toggles in the backward),
+    # ×2 per axis (up-gain d²); multi-rank for radial fd.
+    if fd.ndim == 1:
+        up_terms = [(fd * 2.0, fd * 2.0)]
+    else:
+        terms = _separate_2d(fd)
+        if terms is None:
+            return None
+        up_terms = [(col * 2.0, row * 2.0) for col, row in terms]
+    # Down taps from fu, unflipped; the overall gain·u²/d² applies at the
+    # mask stage (point_gain).
+    down_taps = np.asarray(fu, np.float64)
+    point_gain = gain * (up ** 2) / (down ** 2)
+
+    # For up == 4 the true output stride is 4: compute stride-2, slice after.
+    # Output length at stride 2 covers every x row at even indices.
+    w_align = 16
+    # Tile planning over the dy operand (backward up = 2).
+    tu_b = len(up_terms[0][0])
+    lo_h2 = (yh * 2 + pp_y0 + pp_y1 - (tu_b - 1) - (tu_h - 1) + 1) // 2
+    lo_w2 = (yw * 2 + pp_x0 + pp_x1 - (tu_b - 1) - (tu_w - 1) + 1) // 2
+    if lo_h2 <= 0 or lo_w2 <= 0:
+        return None
+    tm, tw = _pick_tiles(2, tu_b, tu_h, c_block, esize, w_align=w_align,
+                         budget=30 * 2 ** 20, len_out_h=lo_h2,
+                         len_out_w=lo_w2)
+    # The mask plans (up = u_fwd) add their own constraints: H stride
+    # divisibility (tile even for u=4) and W DMA alignment
+    # (2·tw/u ≡ 0 mod 16 → tw multiple of 8·u).
+    tm += tm % (up // 2)
+    w_quant = w_align * up // 2
+    tw = max((tw // w_quant) * w_quant, w_quant)
+    plan_g_h = _AxisPlan(yh, tm, up_terms[0][0], tu_h, 2, pp_y0, pp_y1)
+    plan_g_w = _AxisPlan(yw, tw, up_terms[0][1], tu_w, 2, pp_x0, pp_x1,
+                         align=w_align)
+    for plan, p0 in ((plan_g_h, pp_y0), (plan_g_w, pp_x0)):
+        plan.pad0_ = p0
+    # Mask plans over x: forward up-grid shifted into the backward frame —
+    # pad0 = tu − 1 (derivation: y_fwd = y_bwd + pad − (tu − 1) folds into
+    # the pad), forward taps with the forward's gain folding.
+    fu_mask = fu[::-1] * up
+    plan_m_h = _AxisPlan(xh, tm, fu_mask, tu_h, up, tu_h - 1,
+                         4 * (tu_h + tm))
+    plan_m_w = _AxisPlan(xw, tw, fu_mask, tu_w, up, tu_w - 1,
+                         4 * (tu_w + tw), align=w_align)
+    for plan, p0 in ((plan_m_h, tu_h - 1), (plan_m_w, tu_w - 1)):
+        plan.pad0_ = p0
+    # The mask plans must cover every tile the dy grid visits (their own
+    # n_tiles came from x's length; pad x out to the g-grid's tile count).
+    for pm, pg in ((plan_m_h, plan_g_h), (plan_m_w, plan_g_w)):
+        pm.n_tiles = pg.n_tiles
+        pm.pad_right = max(
+            0, (pm.n_tiles - 1) * pm.stride_q + pm.base_in + pm.in_tile
+            - pm.length)
+
+    if b is not None:
+        x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
+
+    c_pad = -(-c // c_block) * c_block
+    gp = jnp.pad(dy, ((0, 0),
+                      (plan_g_h.pad_left, plan_g_h.pad_right),
+                      (plan_g_w.pad_left, plan_g_w.pad_right),
+                      (0, c_pad - c)))
+    xp = jnp.pad(x, ((0, 0),
+                     (plan_m_h.pad_left, plan_m_h.pad_right),
+                     (plan_m_w.pad_left, plan_m_w.pad_right),
+                     (0, c_pad - c)))
+
+    dims = (n, plan_g_h.n_tiles, plan_g_w.n_tiles, c_pad // c_block)
+    kernel = functools.partial(
+        _flrelu_bwd_kernel, plan_g_h=plan_g_h, plan_g_w=plan_g_w,
+        plan_m_h=plan_m_h, plan_m_w=plan_m_w, up_terms=up_terms,
+        down_taps=down_taps, point_gain=float(point_gain),
+        slope=float(slope), gain_f=float(gain),
+        clamp=None if clamp is None else float(clamp), u_fwd=up, dims=dims)
+
+    total = int(np.prod(dims))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out2 = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n, plan_g_h.out_pad, plan_g_w.out_pad, c_pad), dtype),
+        grid=(total,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tm, tw, c_block),
+                               lambda k: _decode_step(k, dims),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan_g_h.in_tile, plan_g_w.in_tile, c_block),
+                       dtype),
+            pltpu.VMEM((2, plan_m_h.in_tile, plan_m_w.in_tile, c_block),
+                       dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(gp, xp)
+    out2 = out2[:, :lo_h2, :lo_w2, :c]
+    if up == 4:
+        out2 = out2[:, ::2, ::2]
+    return out2[:, :xh, :xw]

@@ -209,10 +209,11 @@ def spatial_synthesis(
 
     other_axes = [a for a in mesh.axis_names if a != axis]
 
-    def fn(ws_rep):
+    def fn(ws_rep, transform_arg):
         s_idx = lax.axis_index(axis)
         # Fourier input: replicated compute (36² — trivial), local rows kept.
-        x = input_mod.apply(input_vars, ws_rep[:, 0], transform=transform)
+        x = input_mod.apply(input_vars, ws_rep[:, 0],
+                            transform=transform_arg)
         h0 = layout.input.size[1]
         assert h0 % shards == 0, (h0, shards)
         hl = h0 // shards
@@ -238,51 +239,51 @@ def spatial_synthesis(
 
     fn_sharded = shard_map(
         fn, mesh=mesh,
-        in_specs=(P(),),
+        in_specs=(P(), P()),
         out_specs=P(None, axis),
-        check_rep=False)
-    return fn_sharded(ws.astype(jnp.float32))
+        check_vma=False)
+    t_arg = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                              (ws.shape[0], 3, 3))
+             if transform is None
+             else jnp.asarray(transform, jnp.float32))
+    return fn_sharded(ws.astype(jnp.float32), t_arg)
 
 
-def spatial_expanded_synthesis(
-    cfg: SG3Config,
-    variables: dict,
-    ws: jax.Array,
-    mesh: Mesh,
-    pixels_left: int = 0,
-    pixels_right: int = 0,
-    pixels_top: int = 0,
-    pixels_bottom: int = 0,
-    axis: str = "space",
-) -> jax.Array:
-    """FOV-expanded (>res²) canvas, synthesized spatially sharded.
+class ShardedExpander:
+    """FOV expander whose every view synthesizes H-sharded over the mesh.
 
     Reference: `Expander.generate_expanded_image` runs 9 SERIAL syntheses
-    with shifted Fourier transforms and stitches (fov_expansion.py:13-108).
-    Here each shifted view synthesizes H-sharded over the mesh, and the
-    stitch happens on the canvas. Shifts are whole multiples of the
-    resolution expressed through the Fourier-feature translation."""
-    res = cfg.img_resolution
-    n = ws.shape[0]
-    grid_x = [0] + ([-1] if pixels_left else []) + ([1] if pixels_right else [])
-    grid_y = [0] + ([-1] if pixels_top else []) + ([1] if pixels_bottom else [])
-    canvas = np.zeros((n, pixels_top + res + pixels_bottom,
-                       pixels_left + res + pixels_right, cfg.img_channels),
-                      np.float32)
-    canvas = jnp.asarray(canvas)
-    for sy in grid_y:
-        for sx in grid_x:
-            m = np.eye(3, dtype=np.float32)
-            m[0, 2] = -sx  # translation in Fourier-feature units (1 = res px)
-            m[1, 2] = -sy
-            img = spatial_synthesis(cfg, variables, ws, mesh, axis=axis,
-                                    transform=jnp.asarray(m))
-            y0 = pixels_top + sy * res
-            x0 = pixels_left + sx * res
-            ys, ye = max(y0, 0), min(y0 + res, canvas.shape[1])
-            xs_, xe = max(x0, 0), min(x0 + res, canvas.shape[2])
-            if ys >= ye or xs_ >= xe:
-                continue
-            patch = img[:, ys - y0:ye - y0, xs_ - x0:xe - x0]
-            canvas = canvas.at[:, ys:ye, xs_:xe].set(patch)
-    return canvas
+    with shifted Fourier transforms and stitches (fov_expansion.py:13-108);
+    the in-repo Expander batches them into one call (utils/fov_expansion.py)
+    but still replicates the full activation pyramid per device. This
+    variant reuses the Expander's transform/stitch logic verbatim while the
+    synthesis runs through `spatial_synthesis` — >res² canvases whose
+    activations never materialize unsharded."""
+
+    def __init__(self, cfg: SG3Config, variables: dict, mesh: Mesh,
+                 axis: str = "space"):
+        from ..utils.fov_expansion import Expander
+
+        self._inner = Expander.__new__(Expander)
+        self._inner.model = None
+        self._inner.variables = variables
+        self._inner.res = cfg.img_resolution
+        self._inner._synth = (
+            lambda v, ws, t: spatial_synthesis(cfg, v, ws, mesh, axis=axis,
+                                               transform=t))
+
+    def generate_expanded_image(self, ws, landmark_t=None, **pixels):
+        if landmark_t is None:
+            landmark_t = np.eye(3, dtype=np.float32)
+        return self._inner.generate_expanded_image(ws, landmark_t, **pixels)
+
+
+def spatial_expanded_synthesis(cfg, variables, ws, mesh,
+                               pixels_left=0, pixels_right=0,
+                               pixels_top=0, pixels_bottom=0,
+                               axis: str = "space",
+                               landmark_t=None) -> jax.Array:
+    """One-call helper: >res² FOV canvas, spatially sharded."""
+    return ShardedExpander(cfg, variables, mesh, axis).generate_expanded_image(
+        ws, landmark_t, pixels_left=pixels_left, pixels_right=pixels_right,
+        pixels_top=pixels_top, pixels_bottom=pixels_bottom)

@@ -84,13 +84,25 @@ class FeatureStats:
 
 
 def frechet_distance(mu1, cov1, mu2, cov2) -> float:
-    """FID between two Gaussians (scipy sqrtm on host)."""
+    """FID between two Gaussians (scipy sqrtm on host).
+
+    Rank-deficient covariances (few samples, near-constant features) can
+    abort sqrtm; retry with a diagonal jitter — the standard FID fallback.
+    """
     import scipy.linalg
 
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
-    covmean = np.real(covmean)
-    return float(diff @ diff + np.trace(cov1 + cov2 - 2 * covmean))
+    try:
+        covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
+        if not np.isfinite(covmean).all():
+            raise np.linalg.LinAlgError("non-finite sqrtm")
+        tr_covmean = float(np.trace(np.real(covmean)))
+    except (np.linalg.LinAlgError, ValueError):
+        # tr sqrtm(AB) = Σ √λ_i(AB) — eigenvalue route survives the
+        # rank-deficient cases that abort LAPACK's Schur-based sqrtm.
+        evals = np.linalg.eigvals(cov1 @ cov2)
+        tr_covmean = float(np.sum(np.sqrt(np.maximum(evals.real, 0.0))))
+    return float(diff @ diff + np.trace(cov1 + cov2) - 2 * tr_covmean)
 
 
 class ConditionalFID:

@@ -206,3 +206,54 @@ def test_setgan_alternate_stems():
                                 latent_avg=jnp.zeros((32,)))
         imgs = model.apply(v, x, z, latent_avg=jnp.zeros((32,)))
         assert imgs.shape == (1, 1, 32, 32, 3), stem
+
+
+def test_sg2_style_mixing_and_noise_registry():
+    """Rosinality SG2 surface (VERDICT r2 #7): two-latent style mixing with
+    inject_index, input_is_latent, return_latents, and the per-layer noise
+    buffer registry (noise_mode='const' deterministic; buffers mutable)."""
+    g = SG2Generator(size=32, style_dim=64, n_mlp=2)
+    z1 = jnp.asarray(RNG.randn(2, 64).astype(np.float32))
+    z2 = jnp.asarray(RNG.randn(2, 64).astype(np.float32))
+    v = g.init(jax.random.PRNGKey(0), z1)
+
+    # Style mixing: [z1, z2] differs from either single-z render, and
+    # inject_index=n_latent reproduces the pure-z1 image.
+    img1 = g.apply(v, z1, noise_mode="none")
+    img_mix = g.apply(v, [z1, z2], noise_mode="none")
+    assert img_mix.shape == img1.shape
+    assert not np.allclose(np.asarray(img_mix), np.asarray(img1))
+    img_all1 = g.apply(v, [z1, z2], inject_index=g.n_latent,
+                       noise_mode="none")
+    np.testing.assert_allclose(np.asarray(img_all1), np.asarray(img1),
+                               rtol=1e-5, atol=1e-5)
+
+    # input_is_latent: w's bypass the mapping MLP.
+    w1 = g.apply(v, z1, method=g.mapping)
+    img_w = g.apply(v, w1, input_is_latent=True, noise_mode="none")
+    np.testing.assert_allclose(np.asarray(img_w), np.asarray(img1),
+                               rtol=1e-5, atol=1e-5)
+
+    # return_latents gives the broadcast W+.
+    _, lat = g.apply(v, z1, noise_mode="none", return_latents=True)
+    assert lat.shape == (2, g.n_latent, 64)
+
+    # Noise registry: 'const' initializes zero buffers (== 'none' output),
+    # is deterministic, and honors injected buffer values.
+    img_c, mutated = g.apply(v, z1, noise_mode="const",
+                             mutable=["noises"])
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img1),
+                               rtol=1e-5, atol=1e-5)
+    noises = mutated["noises"]
+    assert "noise_0" in noises and noises["noise_0"].shape == (1, 4, 4, 1)
+    bumped = {k: jnp.ones_like(val) for k, val in noises.items()}
+    img_b = g.apply({**v, "noises": bumped}, z1, noise_mode="const")
+    # noise weights start at zero → still equal; after forcing a weight,
+    # the buffer must matter.
+    params2 = jax.tree_util.tree_map(lambda p: p, v["params"])
+    params2["conv1"]["noise"]["weight"] = jnp.asarray(1.0)
+    img_n0 = g.apply({"params": params2, "noises": noises}, z1,
+                     noise_mode="const")
+    img_n1 = g.apply({"params": params2, "noises": bumped}, z1,
+                     noise_mode="const")
+    assert not np.allclose(np.asarray(img_n0), np.asarray(img_n1))

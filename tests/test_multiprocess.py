@@ -128,7 +128,7 @@ tr.snapshot(os.environ["SG3TPU_SMOKE_DIR"]
             + f"/snap_p{jax.process_index()}")
 print("STEP OK", jax.process_index(), round(m["Loss/G/loss"], 3))
 """
-    procs, outs = _launch_pair(script, tmp_path, timeout=2400)
+    procs, outs = _launch_pair(script, tmp_path, timeout=3600)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "STEP OK" in out

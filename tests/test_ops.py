@@ -321,3 +321,49 @@ class TestConv2dResample:
             flip_weight=flip_weight)
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_filtered_lrelu_backward_kernel():
+    """One-kernel backward (dx + db) vs autodiff of the composition — every
+    SG3-R tiny geometry incl. ×4 up and radial down filters (reference
+    backward: same CUDA kernel with swapped filters + sign read,
+    filtered_lrelu.py:253-264)."""
+    import jax
+
+    from stylegan3_editing_tpu.models.sg3 import sg3_r_config
+    from stylegan3_editing_tpu.models.sg3.config import build_synthesis_layout
+    from stylegan3_editing_tpu.ops.filtered_lrelu import filtered_lrelu
+    from stylegan3_editing_tpu.ops.pallas_flrelu import (
+        fused_filtered_lrelu_bwd)
+
+    cfg = sg3_r_config(32, channel_base=1024, channel_max=128, num_layers=4,
+                       num_critical=2, use_bf16=False)
+    layout = build_synthesis_layout(cfg)
+    rng = np.random.RandomState(0)
+    for L in layout.layers:
+        if L.up_factor == 1:
+            continue
+        x = jnp.asarray(rng.randn(1, L.in_size[1], L.in_size[0],
+                                  8).astype(np.float32))
+        b = jnp.asarray(rng.randn(8).astype(np.float32))
+
+        def f(xc, bc, _L=L):
+            return filtered_lrelu(
+                xc, fu=_L.up_filter, fd=_L.down_filter, b=bc,
+                up=_L.up_factor, down=_L.down_factor, padding=_L.padding,
+                gain=np.sqrt(2), slope=0.2, clamp=_L.conv_clamp, impl="xla")
+
+        y, vjp = jax.vjp(f, x, b)
+        dy = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+        want_dx, want_db = vjp(dy)
+        got_dx = fused_filtered_lrelu_bwd(
+            dy, x, L.up_filter, L.down_filter, b, L.up_factor,
+            L.down_factor, L.padding, gain=float(np.sqrt(2)), slope=0.2,
+            clamp=L.conv_clamp)
+        assert got_dx is not None, L.name
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=1e-4, atol=1e-5, err_msg=L.name)
+        got_db = jnp.sum(got_dx, axis=(0, 1, 2))
+        np.testing.assert_allclose(np.asarray(got_db), np.asarray(want_db),
+                                   rtol=1e-4, atol=1e-4, err_msg=L.name)

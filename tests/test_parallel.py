@@ -156,8 +156,34 @@ def test_spatial_filtered_lrelu_exact_radial():
                     clamp=spec.conv_clamp, axis_name="space", shards=shards,
                     H_global=spec.in_size[1]),
             mesh=mesh, in_specs=P(None, "space"), out_specs=P(None, "space"),
-            check_rep=False)
+            check_vma=False)
         got = fn(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=spec.name)
+
+
+@pytest.mark.slow
+def test_spatial_fov_expansion_matches_unsharded():
+    """>res² FOV-expanded canvas synthesized SHARDED equals the in-repo
+    (unsharded) Expander canvas (VERDICT r2 #3 demo; reference
+    fov_expansion.py:13-108)."""
+    from stylegan3_editing_tpu.parallel.spatial import ShardedExpander
+    from stylegan3_editing_tpu.utils.fov_expansion import Expander
+
+    cfg = spatial_tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(1), z)
+    ws = model.apply(variables, z, method=model.map)
+    lt = np.eye(3, dtype=np.float32)
+
+    want = Expander(model, variables, cfg.img_resolution) \
+        .generate_expanded_image(ws, lt, pixels_left=8, pixels_top=8)
+    mesh = create_mesh(shape=(4, 1, 2), axis_names=("data", "model", "space"))
+    got = ShardedExpander(cfg, variables, mesh).generate_expanded_image(
+        ws, lt, pixels_left=8, pixels_top=8)
+    assert got.shape == (1, cfg.img_resolution + 8,
+                         cfg.img_resolution + 8, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
