@@ -91,14 +91,16 @@ class StyledConv(nn.Module):
         scale = 1 / math.sqrt(in_c * self.kernel ** 2)
         style = FullyConnected(in_c, bias_init=1.0, name="modulation")(style_w)
         if self.upsample:
-            # Zero-insert upsample, modulated conv, then 4-tap blur —
-            # rosinality fuses via conv_transpose; here via upfirdn2d.
-            x = upfirdn2d(x, None, up=2, padding=(0, 1, 0, 1), gain=4)
-            y = modulated_conv2d(x, weight * scale, style,
+            # rosinality up-conv = conv_transpose2d(stride 2) + Blur(pad 1,1)
+            # — as a correlation that is the 2×-dilated conv with the
+            # SPATIALLY FLIPPED kernel (pad k−1) followed by the 4-tap blur
+            # with up² gain (same arithmetic verified exact for the NVIDIA
+            # convention in tests/test_reference_parity.py).
+            y = modulated_conv2d(x, (weight * scale)[::-1, ::-1], style,
                                  demodulate=self.demodulate,
-                                 padding=self.kernel // 2)
+                                 padding=self.kernel - 1, up=2)
             blur = setup_filter(_BLUR_KERNEL, gain=1)
-            y = upfirdn2d(y, blur, padding=1)
+            y = upfirdn2d(y, blur, padding=(1, 1, 1, 1), gain=4)
         else:
             y = modulated_conv2d(x, weight * scale, style,
                                  demodulate=self.demodulate,
@@ -256,19 +258,33 @@ class SG2Generator(nn.Module):
 
 
 class _DiscBlock(nn.Module):
+    """Residual D block, rosinality ResBlock semantics (model.py:570-600):
+    conv1 (3×3) + lrelu, then blur→stride-2 conv fused via
+    `conv2d_resample(down=2)` (the reference's ConvLayer-downsample =
+    Blur(pad 2,2) + stride-2 EqualConv2d — identical padding arithmetic,
+    ops/conv2d_resample.py), 1×1 skip the same way, (y + skip)/√2."""
+
     out_channels: int
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.conv2d_resample import conv2d_resample
+
         in_c = x.shape[-1]
+        blur = setup_filter(_BLUR_KERNEL)
         y = EqualConv2d(in_c, 3, padding=1, name="conv1")(x)
         y = bias_act(y, act="lrelu")
-        y = downsample2d(y, setup_filter(_BLUR_KERNEL), down=2)
-        y = EqualConv2d(self.out_channels, 3, padding=1, name="conv2")(y)
-        y = bias_act(y, act="lrelu")
-        skip = downsample2d(x, setup_filter(_BLUR_KERNEL), down=2)
-        skip = EqualConv2d(self.out_channels, 1, use_bias=False,
-                           name="skip")(skip)
+        w2 = self.param("conv2_weight", nn.initializers.normal(1.0),
+                        (3, 3, in_c, self.out_channels))
+        b2 = self.param("conv2_bias", nn.initializers.zeros,
+                        (self.out_channels,))
+        y = conv2d_resample(y, w2 / math.sqrt(in_c * 9), f=blur, down=2,
+                            padding=1)
+        y = bias_act(y, b2, act="lrelu")
+        ws = self.param("skip_weight", nn.initializers.normal(1.0),
+                        (1, 1, in_c, self.out_channels))
+        skip = conv2d_resample(x, ws / math.sqrt(in_c), f=blur, down=2,
+                               padding=0)
         return (y + skip) / math.sqrt(2)
 
 

@@ -129,9 +129,11 @@ def _down_groups(u: int, td: int):
 
 
 def _act_lrelu(v, slope: float, gain: float, clamp: Optional[float]):
-    v = jnp.where(v >= 0, v, v * np.float32(slope)) * np.float32(gain)
+    # Python-float (weak-typed) constants keep the compute dtype — the
+    # kernel runs fp32 by default, bf16 under SG3TPU_FLRELU_BF16=1.
+    v = jnp.where(v >= 0, v, v * float(slope)) * float(gain)
     if clamp is not None:
-        v = jnp.clip(v, -np.float32(clamp), np.float32(clamp))
+        v = jnp.clip(v, -float(clamp), float(clamp))
     return v
 
 
@@ -145,12 +147,12 @@ def _up_pass(x, plan: _AxisPlan, axis: int, count: int):
         for j, tap in enumerate(taps):
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(off + j, off + j + count)
-            term = x[tuple(idx)] * np.float32(tap)
+            term = x[tuple(idx)] * float(tap)
             acc = term if acc is None else acc + term
         if acc is None:
             shape = list(x.shape)
             shape[axis] = count
-            acc = jnp.zeros(shape, jnp.float32)
+            acc = jnp.zeros(shape, x.dtype)
         planes.append(acc)
     return planes
 
@@ -162,7 +164,7 @@ def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int):
     for a, p, off, t in plan:
         idx = [slice(None)] * planes[p].ndim
         idx[axis] = slice(off, off + count)
-        term = planes[p][tuple(idx)] * np.float32(taps[t])
+        term = planes[p][tuple(idx)] * float(taps[t])
         outs[a] = term if outs[a] is None else outs[a] + term
     return outs
 
@@ -190,7 +192,8 @@ def _decode_step(k, dims):
 
 
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
-                   terms, slope, gain, clamp, u, dims):
+                   terms, slope, gain, clamp, u, dims,
+                   compute_dtype=jnp.float32):
     """One output tile per 1-D grid step, with double-buffered input DMA:
     step k waits on the tile prefetched at step k-1 and starts step k+1's
     transfer before computing (guide pattern 'Double Buffering')."""
@@ -231,8 +234,9 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     cols = jax.lax.broadcasted_iota(jnp.int32, (ih, iw, 1), 1) + w0
     valid = ((rows >= vlo_h) & (rows < vhi_h)
              & (cols >= vlo_w) & (cols < vhi_w))
-    x = xt[slot].astype(jnp.float32) + jnp.where(
-        valid, b_ref[0, 0].astype(jnp.float32), np.float32(0.0))
+    x = xt[slot].astype(compute_dtype) + jnp.where(
+        valid, b_ref[0, 0].astype(compute_dtype),
+        jnp.zeros((), compute_dtype))
 
     w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count)
     # a_planes[p_h][p_w], each [Qh, Qw, TC], activated.
@@ -419,10 +423,15 @@ def fused_filtered_lrelu(
     bias = bias.reshape(c_pad // c_block, 1, c_block)
 
     dims = (n, plan_h.n_tiles, plan_w.n_tiles, c_pad // c_block)
+    import os as _os2
+    compute_dtype = (jnp.bfloat16
+                     if _os2.environ.get("SG3TPU_FLRELU_BF16") == "1"
+                     else jnp.float32)
     kernel = functools.partial(
         _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
         slope=float(slope), gain=float(gain),
-        clamp=None if clamp is None else float(clamp), u=up, dims=dims)
+        clamp=None if clamp is None else float(clamp), u=up, dims=dims,
+        compute_dtype=compute_dtype)
 
     # 1-D grid so the kernel can prefetch step k+1's input tile while
     # computing step k (manual double buffering; Mosaic already pipelines
@@ -583,12 +592,12 @@ def _up_pass_taps(x, plan: _AxisPlan, taps_1d: np.ndarray, axis: int,
         for j, tap in enumerate(np.asarray(taps, np.float64)):
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(off + j, off + j + count)
-            term = x[tuple(idx)] * np.float32(tap)
+            term = x[tuple(idx)] * float(tap)
             acc = term if acc is None else acc + term
         if acc is None:
             shape = list(x.shape)
             shape[axis] = count
-            acc = jnp.zeros(shape, jnp.float32)
+            acc = jnp.zeros(shape, x.dtype)
         planes.append(acc)
     return planes
 

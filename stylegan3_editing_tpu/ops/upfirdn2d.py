@@ -145,16 +145,15 @@ def upfirdn2d(
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scale.
         impl: 'auto' (XLA depthwise conv — measured fastest end-to-end for
-            the non-fused call sites, see BASELINE.md round-2 table), 'mxu'
-            (opt-in block-banded MXU matmul), 'shift' (polyphase
-            shift-and-add: exact but ~taps× HBM read amplification), 'conv',
-            or 'pallas' (force the VMEM kernel).
+            the non-fused call sites, see BASELINE.md), 'shift' (polyphase
+            shift-and-add: exact but ~taps× HBM read amplification), or
+            'conv'.
     """
     assert x.ndim == 4, "expected NHWC input"
     if impl == "auto":
         import os
         impl = os.environ.get("SG3TPU_FIR_IMPL", "auto")
-    assert impl in ("auto", "mxu", "shift", "conv", "pallas", "pallas_hot")
+    assert impl in ("auto", "shift", "conv")
     up_t = tuple(parse_scaling(up))
     down_t = tuple(parse_scaling(down))
     pad_t = tuple(parse_padding(padding))
@@ -172,44 +171,11 @@ def upfirdn2d(
                                           flip_filter, float(gain))
         raise ValueError("filter not expressible by the shift fast path")
 
-    # Block-banded MXU matmul path (ops/fir_mxu.py). OPT-IN only: BASELINE.md
-    # round-2 measurements show it SLOWER than the XLA conv end-to-end at the
-    # SG3 geometries (e.g. L10 285.7 ms vs 196.8 ms) — ~8% MXU-efficient on
-    # 12-tap banding — so 'auto' stays on conv; set SG3TPU_FIR_IMPL=mxu to
-    # force it. Static numpy filters only (the banded matrix is a trace-time
-    # constant).
-    if isinstance(f, np.ndarray) and impl == "mxu":
-        from .fir_mxu import fir_resample_mxu
-
-        out = fir_resample_mxu(x, f, up_t, down_t, pad_t, flip_filter,
-                               float(gain))
-        if out is not None:
-            return out
-        if impl == "mxu":
-            raise ValueError("filter not expressible by the mxu path")
-
-    # Pallas VMEM-resident FIR kernel (static numpy
-    # filters; differentiable via its analytic adjoint). Measured 3.6× over
-    # the XLA conv on SG3's hot up-pass (+11% on full 1024² synthesis), but
-    # THIS environment's remote compile helper crashes on graphs with more
-    # than ~8 Pallas kernels — so it is OPT-IN: SG3TPU_FIR_IMPL=pallas_hot
-    # takes it for large separable passes only (inference graphs; bench.py
-    # sets it), 'pallas' forces it everywhere expressible.
-    if impl == "pallas_hot":
-        impl = ("pallas" if isinstance(f, np.ndarray) and f.ndim == 1
-                and jax.default_backend() == "tpu"
-                and min(x.shape[1], x.shape[2]) >= 1024 else "auto")
-    if (isinstance(f, np.ndarray) and jax.default_backend() == "tpu"
-            and impl == "pallas"):
-        from .pallas_fir import pallas_upfirdn2d
-
-        out = pallas_upfirdn2d(x, f, up_t, down_t, pad_t, flip_filter,
-                               float(gain))
-        if out is not None:
-            return out
-        if impl == "pallas":
-            raise ValueError("filter not expressible by the pallas path")
-
+    # The round-1/2 'mxu' (block-banded matmul) and 'pallas'/'pallas_hot'
+    # (separate VMEM FIR kernel) experiments were deleted in round 3: both
+    # measured SLOWER than this conv path end-to-end once the fused
+    # one-kernel filtered_lrelu became the default (full measurement tables
+    # preserved in BASELINE.md rounds 1-2; code in git history).
     if f is not None:
         f = jnp.asarray(f, dtype=jnp.float32)
         assert f.ndim in (1, 2)

@@ -53,3 +53,73 @@ def test_coach_overfits_one_batch():
     first = float(np.mean(losses[:5]))
     last = float(np.mean(losses[-5:]))
     assert last < first * 0.7, (first, last, losses[::10])
+
+
+@pytest.mark.slow
+def test_setgan_fid_improves_and_best_model_fires(tmp_path):
+    """SetGAN GAN loop learns: on a tiny 2-class solid-color problem the
+    in-loop ConditionalFID (pixel-statistics features) drops below its
+    untrained value and the best-model snapshot fires
+    (reference: FID eval + best-model selection,
+    setgan/training_loop.py:590-615). Hyperparameters calibrated so the
+    fixed seed reaches a ≥5% FID drop within 40 steps on CPU."""
+    from stylegan3_editing_tpu.parallel import create_mesh
+    from stylegan3_editing_tpu.setgan.metrics import ConditionalFID
+    from stylegan3_editing_tpu.setgan.training_loop import (
+        SetGANTrainConfig, SetGANTrainer)
+
+    dec = SG3Config(img_resolution=32, channel_base=256, channel_max=16,
+                    num_layers=2, num_critical=1, use_bf16=False)
+    cfg = SetGANTrainConfig(
+        batch_size=2, d_backbones=("vgg16_proj",), d_interp224=False,
+        d_num_discs=1, ref_resolution=32, g_lr=0.004, d_lr=0.003,
+        tick_kimg=0.02, eval_ticks=1, snapshot_ticks=1000)
+    mesh = create_mesh(devices=jax.devices()[:1])
+    trainer = SetGANTrainer(cfg, dec, mesh=mesh, run_dir=str(tmp_path))
+
+    rng = np.random.RandomState(0)
+    colors = {0: (0.8, -0.6, -0.6), 1: (-0.6, -0.6, 0.8)}
+
+    def imgs(cls, n, res=32):
+        base = np.tile(np.array(colors[cls], np.float32), (n, res, res, 1))
+        return base + rng.randn(n, res, res, 3).astype(np.float32) * 0.05
+
+    def feat(x):
+        x = np.nan_to_num(np.asarray(x))
+        n = x.shape[0]
+        return x.reshape(n, 4, 8, 4, 8, 3).mean(axis=(2, 4)).reshape(n, -1)
+
+    def fid_of(tr):
+        fid = ConditionalFID(feat)
+        for c in range(2):
+            fid.append_real(c, imgs(c, 64))
+            refs = imgs(c, 2)[None]
+            fakes = tr.generate(np.repeat(refs, 8, 0), num_candidates=8,
+                                use_ema=False)
+            fid.append_fake(c, fakes.reshape(-1, 32, 32, 3))
+        return fid.compute("agg")
+
+    fid0 = fid_of(trainer)
+    fids = []
+
+    def eval_fn(tr):
+        f = fid_of(tr)
+        fids.append(f)
+        return f
+
+    def data():
+        while True:
+            cls = [rng.randint(2) for _ in range(2)]
+            yield {
+                "reference": np.stack([imgs(c, 2) for c in cls]),
+                "candidate": np.stack([imgs(c, 2) for c in cls]),
+                "ref_mask": np.ones((2, 2), bool),
+                "cand_mask": np.ones((2, 2), bool),
+            }
+
+    # 0.08 kimg / batch 2 = 40 steps; tick_kimg=0.02 → eval every 10 steps.
+    trainer.train(data(), total_kimg=0.08, eval_fn=eval_fn)
+    assert trainer.best_fid is not None
+    assert min(fids) < fid0 * 0.95, (fid0, fids)
+    assert (tmp_path / "best_model.npz").exists() or \
+        list(tmp_path.glob("best_model*")), list(tmp_path.iterdir())

@@ -91,19 +91,6 @@ def test_upfirdn2d_shift_impl_matches_conv():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_fir_interpret_matches_conv():
-    from stylegan3_editing_tpu.ops.pallas_fir import fir_resample_pallas
-
-    x = jnp.asarray(RNG.randn(1, 16, 16, 3).astype(np.float32))
-    f = RNG.randn(12).astype(np.float32)
-    a = upfirdn2d(x, f, up=2, padding=(6, 5, 6, 5), gain=4, impl="conv")
-    b = fir_resample_pallas(x, f, (2, 2), (1, 1), (6, 5, 6, 5), False, 4.0)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-4, atol=1e-4)
-
-
-# --------------------------------------------- XL aux stems (SG2 / FastGAN)
-
 def test_sg2_stem_forward_and_converter():
     """NVIDIA-convention SG2 generator (XL aux net): forward shapes, w_avg
     EMA, torch-state converter key-map round-trip (reference
