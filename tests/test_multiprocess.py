@@ -108,6 +108,13 @@ from stylegan3_editing_tpu.setgan.training_loop import (
     SetGANTrainConfig, SetGANTrainer)
 
 assert jax.process_count() == 2 and len(jax.devices()) == 2
+# Establish the gloo pairs with a tiny collective BEFORE the big step
+# compile: pair CONNECTION has a short timeout, and compile-time skew
+# between hosts (minutes) otherwise trips "Gloo context initialization
+# failed: Connect timeout" on the faster host. Blocking on an established
+# pair has no such deadline.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("warmup")
 cfg = SetGANTrainConfig(batch_size=2, d_backbones=("vgg16_proj",),
                         d_interp224=False, d_num_discs=2, ref_resolution=64,
                         snapshot_ticks=1)
@@ -126,6 +133,11 @@ m = tr.train_step(batch)
 assert np.isfinite(m["Loss/G/loss"]) and np.isfinite(m["Loss/D/loss"]), m
 tr.snapshot(os.environ["SG3TPU_SMOKE_DIR"]
             + f"/snap_p{jax.process_index()}")
+# Hosts exit together — without this the faster host hits the distributed
+# shutdown barrier while the slower one is still compiling, the barrier
+# deadline fires, and the coordination service kills both.
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("smoke_done")
 print("STEP OK", jax.process_index(), round(m["Loss/G/loss"], 3))
 """
     procs, outs = _launch_pair(script, tmp_path, timeout=3600)
@@ -135,3 +147,55 @@ print("STEP OK", jax.process_index(), round(m["Loss/G/loss"], 3))
     # process 0's snapshot exists; process 1's write was a gated no-op
     assert list(tmp_path.glob("snap_p0*")), list(tmp_path.iterdir())
     assert not list(tmp_path.glob("snap_p1*"))
+
+
+def test_npz_checkpoint_roundtrip_matches_orbax_semantics(tmp_path,
+                                                          monkeypatch):
+    """Multi-process save_pytree must be collective-free (orbax's save
+    barriers rendezvous against other hosts' collectives — observed
+    name-mismatch abort), so it writes an npz+manifest dir. The restored
+    tree must look exactly like an orbax restore: namedtuples → field-name
+    dicts, tuples → lists, leaves in the same flatten order."""
+    import collections
+
+    import jax
+    import optax
+
+    from stylegan3_editing_tpu.runtime import checkpoint as ckpt
+
+    State = collections.namedtuple("State", ["count", "mu", "nu"])
+    tree = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                   "b": np.zeros(3, np.float32)},
+        "opt": State(np.int32(4), [np.ones(2), np.full(2, 2.0)], None),
+        "scalars": (np.float32(0.5), np.float64(1.25)),
+    }
+
+    # orbax reference restore (single-process path)
+    ckpt.save_pytree(tmp_path / "orbax_ck", tree, {"step": 7})
+    ref, ref_meta = ckpt.load_pytree(tmp_path / "orbax_ck")
+
+    # npz path (multi-process branch)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    ckpt.save_pytree(tmp_path / "npz_ck", tree, {"step": 7})
+    monkeypatch.undo()
+    assert (tmp_path / "npz_ck" / "sg3tpu_manifest.json").exists()
+    got, got_meta = ckpt.load_pytree(tmp_path / "npz_ck")
+
+    assert got_meta == ref_meta == {"step": 7}
+    assert (jax.tree_util.tree_structure(got)
+            == jax.tree_util.tree_structure(ref))
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the optax-state unflatten pattern used by the trainers works
+    opt = optax.adam(1e-3).init({"x": np.zeros(2, np.float32)})
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    ckpt.save_pytree(tmp_path / "opt_ck", {"opt": opt})
+    monkeypatch.undo()
+    restored, _ = ckpt.load_pytree(tmp_path / "opt_ck")
+    rebuilt = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(opt),
+        jax.tree_util.tree_leaves(restored["opt"]))
+    assert type(rebuilt) is type(opt)
