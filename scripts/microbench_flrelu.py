@@ -27,12 +27,25 @@ from jax import lax
 
 
 def layer_flops(L, batch: int) -> float:
-    """Approximate fp32 flops per call: up-grid points × ~(2·taps/up + act)."""
+    """Approximate fp32 flops per call: up-grid points × ~(2·taps/up + act).
+
+    Rank = the ACTUAL number of SVD terms the kernel runs (incl. the bf16
+    rank truncation), not a worst-case 4 — else Gflop/s flatters radial
+    layers whose filters are rank 2-3."""
     uh = L.in_size[0] * L.up_factor
     uw = L.in_size[1] * L.up_factor
     per_point = 2 * (L.up_taps / L.up_factor) * 2 + 4  # sep up (H+W) + act
     down_pts = (uh // L.down_factor) * (uw // L.down_factor)
-    rank = 4 if L.down_radial else 1
+    rank = 1
+    fd = np.asarray(L.down_filter, np.float64)
+    if fd.ndim == 2:
+        from stylegan3_editing_tpu.ops.fir import _separate_2d
+        from stylegan3_editing_tpu.ops.pallas_flrelu import \
+            _truncate_rank_terms
+        terms = _separate_2d(fd) or []
+        if L.use_bf16:
+            terms = _truncate_rank_terms(terms)
+        rank = max(len(terms), 1)
     down = 2 * (L.down_taps / 1) * 2 * rank * down_pts  # sep down per rank
     return batch * L.out_channels * (uh * uw * per_point + down)
 

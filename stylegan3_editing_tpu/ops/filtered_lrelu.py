@@ -119,8 +119,11 @@ def filtered_lrelu(
                 return fused_op(xc, bc), (xc, bc)
 
             def bwd(res, dy):
+                import os
+
                 xc, bc = res
-                if jax.default_backend() == "tpu":
+                if (jax.default_backend() == "tpu"
+                        and os.environ.get("SG3TPU_FLRELU_BWD") != "composed"):
                     # Fused one-kernel backward (reference: the same CUDA
                     # kernel with swapped filters + sign read,
                     # filtered_lrelu.py:253-264; here A is recomputed per

@@ -137,36 +137,89 @@ def _act_lrelu(v, slope: float, gain: float, clamp: Optional[float]):
     return v
 
 
-def _up_pass(x, plan: _AxisPlan, axis: int, count: int):
-    """Phase planes along `axis`: list of u arrays with `count` entries."""
+def _tree_sum(terms):
+    """Serial-chain sum of a term list.
+
+    Measured (L11, v5e): the single serial `acc += term` chain (84.2 ms)
+    BEATS both a pairwise tree and 2 interleaved accumulator chains (97.3 ms
+    each) — the VPU is not add-latency-bound here; extra live accumulators
+    only add register pressure. Keep the chain serial.
+    """
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _up_pass(x, plan: _AxisPlan, axis: int, count: int, phases=None):
+    """Phase planes along `axis`: list of u arrays with `count` entries.
+    `phases` restricts computation to a subset (others → None)."""
     planes = []
     for p in range(plan.u):
+        if phases is not None and p not in phases:
+            planes.append(None)
+            continue
         taps = plan.phase_taps[p]
         off = plan.win_off[p]
-        acc = None
+        terms = []
         for j, tap in enumerate(taps):
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(off + j, off + j + count)
-            term = x[tuple(idx)] * float(tap)
-            acc = term if acc is None else acc + term
-        if acc is None:
+            terms.append(x[tuple(idx)] * float(tap))
+        if not terms:
             shape = list(x.shape)
             shape[axis] = count
-            acc = jnp.zeros(shape, x.dtype)
-        planes.append(acc)
+            planes.append(jnp.zeros(shape, x.dtype))
+        else:
+            planes.append(_tree_sum(terms))
     return planes
 
 
-def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int):
-    """Stride-2 down-FIR over `u` phase planes → list of parity outputs."""
+def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int,
+               ref_shape=None):
+    """Stride-2 down-FIR over `u` phase planes → list of parity outputs.
+
+    Planes may be None (phase-subset partial kernels): their taps are
+    skipped and the caller sums the partials outside."""
     classes, plan = _down_groups(u, len(taps))
-    outs = [None] * classes
+    terms = [[] for _ in range(classes)]
     for a, p, off, t in plan:
+        if planes[p] is None:
+            continue
         idx = [slice(None)] * planes[p].ndim
         idx[axis] = slice(off, off + count)
-        term = planes[p][tuple(idx)] * float(taps[t])
-        outs[a] = term if outs[a] is None else outs[a] + term
+        terms[a].append(planes[p][tuple(idx)] * float(taps[t]))
+    outs = [_tree_sum(ts) if ts else None for ts in terms]
+    if ref_shape is not None:
+        for a in range(classes):
+            if outs[a] is None:
+                shape = list(ref_shape)
+                shape[axis] = count
+                outs[a] = jnp.zeros(shape, jnp.float32)
     return outs
+
+
+def _truncate_rank_terms(terms, tol: Optional[float] = None):
+    """Drop SVD rank terms with σ_r ≤ tol·σ_0 — bf16 layers only.
+
+    `_separate_2d` keeps ranks down to 1e-6·σ_0, but the radial (jinc) down
+    filters' spectra collapse (σ₂/σ₁ ≈ 1e-3…7e-2, σ₃/σ₁ ≤ 3e-3): at the
+    default tol 1e-4 the filter error is ≤ 2e-4 relative — ~20× below
+    bf16's own ~4e-3 resolution — while the down-pass flop count (up to
+    63% of the kernel) drops ∝ rank (SG3-R hot layers: rank 3-4 → 2-3).
+    Applied only when the layer already runs bf16; fp32 layers keep the
+    1e-6-exact separation (reference parity 3.7e-7). SG3TPU_FD_RANK_TOL=0
+    disables. ||col_r||₂ = σ_r by construction (fir._separate_2d).
+    """
+    import os
+
+    if tol is None:
+        tol = float(os.environ.get("SG3TPU_FD_RANK_TOL", "1e-4"))
+    if tol <= 0 or len(terms) <= 1:
+        return terms
+    sigmas = [float(np.linalg.norm(col)) for col, _ in terms]
+    keep = [t for t, s in zip(terms, sigmas) if s > tol * sigmas[0]]
+    return keep if keep else terms[:1]
 
 
 def _interleave(parts, axis: int):
@@ -193,7 +246,7 @@ def _decode_step(k, dims):
 
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
                    terms, slope, gain, clamp, u, dims,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, w_phases=None):
     """One output tile per 1-D grid step, with double-buffered input DMA:
     step k waits on the tile prefetched at step k-1 and starts step k+1's
     transfer before computing (guide pattern 'Double Buffering')."""
@@ -238,10 +291,16 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
         valid, b_ref[0, 0].astype(compute_dtype),
         jnp.zeros((), compute_dtype))
 
-    w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count)
+    # Phase-subset partial kernels (native ×4 split): compute only the
+    # selected W-phases; absent planes' taps skip and the caller sums the
+    # two partial outputs (W-phases never mix before the down stage, and
+    # the act is per-plane, so the split is exact).
+    active_w = tuple(range(u)) if w_phases is None else tuple(w_phases)
+    w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count,
+                        phases=active_w)
     # a_planes[p_h][p_w], each [Qh, Qw, TC], activated.
     a_planes = [[None] * u for _ in range(u)]
-    for p_w in range(u):
+    for p_w in active_w:
         h_of_w = _up_pass(w_planes[p_w], plan_h, axis=0,
                           count=plan_h.q_count)
         for p_h in range(u):
@@ -251,9 +310,11 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     classes_w = max(u // 2, 1)
     th = plan_h.tile // classes_h
     tw = plan_w.tile // classes_w
+    ref_shape = a_planes[0][active_w[0]].shape
     out_acc = [[None] * classes_w for _ in range(classes_h)]
     for col_taps, row_taps in terms:
-        dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw)
+        dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw,
+                         ref_shape=ref_shape)
               for p_h in range(u)]
         for a_w in range(classes_w):
             cols = _down_pass([dw[p_h][a_w] for p_h in range(u)],
@@ -272,7 +333,7 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
 
 def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
                 w_align: int = 16,
-                budget: int = 9 * 2 ** 20,
+                budget: Optional[int] = None,
                 len_out_h: Optional[int] = None,
                 len_out_w: Optional[int] = None) -> Tuple[int, int]:
     """Largest square-ish (TM, TW) whose VMEM footprint fits the budget.
@@ -282,6 +343,10 @@ def _pick_tiles(u: int, tu: int, td: int, c_block: int, esize: int,
     size (small layers: a 36² canvas forced through a padded 64² tile wastes
     >3× the compute — the round-2 small-layer pathology).
     """
+    if budget is None:
+        import os
+        budget = int(float(os.environ.get("SG3TPU_FLRELU_BUDGET_MB", "9"))
+                     * 2 ** 20)
     step = max(u // 2, 1)
     w_step = w_align * u // 2  # smallest TW with aligned stride
     # Smallest tile fully covering the output along each axis.
@@ -322,12 +387,16 @@ def fused_filtered_lrelu(
     clamp: Optional[float],
     c_block: int = 128,
     interpret: Optional[bool] = None,
+    w_phases: Optional[Tuple[int, ...]] = None,
 ) -> Optional[jax.Array]:
     """One-kernel filtered lrelu. Returns None if the config is unsupported.
 
     Supported: down == 2, up ∈ {2, 4}, static numpy filters, fu 1-D
     separable, fd 1-D or SVD-separable 2-D — i.e. every SG3 synthesis layer
     except the filterless ToRGB (which needs no FIR at all).
+
+    ``w_phases`` (internal): restrict the kernel to a subset of W-phases —
+    the ×4 'split' route sums two such partials.
     """
     from .fir import _separate_2d
 
@@ -340,17 +409,13 @@ def fused_filtered_lrelu(
     if fu.ndim != 1:
         return None
 
-    if up == 4:
+    if up == 4 and w_phases is None:
         import os
 
-        if os.environ.get("SG3TPU_FLRELU_U4", "stuff") == "stuff":
-            # Default route: zero-stuff ×2 on the host, run the ×2 kernel.
-            # The native 4-phase path (SG3TPU_FLRELU_U4=native) avoids the
-            # 4× input DMA and the taps on stuffed zeros and is
-            # golden-exact on CPU, but its 16-plane unrolled Mosaic kernel
-            # WEDGES this environment's remote compile helper (>45 min for
-            # one geometry, round 3) — opt-in until the compile cost is
-            # tamed (e.g. rolled tap loops).
+        mode = os.environ.get("SG3TPU_FLRELU_U4", "split")
+        if mode == "stuff":
+            # Round-2 route: zero-stuff ×2 on the host, run the ×2 kernel —
+            # 4× the raw input DMA and taps on stuffed zeros.
             if b is not None:
                 x = x + b.reshape(1, 1, 1, -1).astype(x.dtype)
             x = jax.lax.pad(x, jnp.zeros((), x.dtype),
@@ -358,6 +423,24 @@ def fused_filtered_lrelu(
             return fused_filtered_lrelu(
                 x, fu * 2.0, fd, None, 2, down, padding, gain, slope, clamp,
                 c_block=c_block, interpret=interpret)
+        if mode == "split":
+            # Native 4-phase ×4 as TWO half kernels (W-phases {0,1} and
+            # {2,3}) + one add: W-phases never mix before the down stage and
+            # the act is per-plane, so partial sums are exact. The FULL
+            # 16-plane kernel (mode 'native') wedges this environment's
+            # remote Mosaic compile for 45+ min; each half is ×2-kernel
+            # sized and compiles normally. Costs one extra read of the x
+            # tiles and one output-sized add.
+            parts = []
+            for sub in ((0, 1), (2, 3)):
+                out = fused_filtered_lrelu(
+                    x, fu, fd, b, up, down, padding, gain, slope, clamp,
+                    c_block=c_block, interpret=interpret, w_phases=sub)
+                if out is None:
+                    return None
+                parts.append(out)
+            return parts[0] + parts[1]
+        # mode == 'native': fall through — single 16-plane kernel.
     px0, px1, py0, py1 = padding
 
     # Lane-occupancy fold: merge batch into the channel (lane) axis when
@@ -378,7 +461,7 @@ def fused_filtered_lrelu(
         bt = None if b is None else jnp.tile(b, n0)
         out = fused_filtered_lrelu(
             xt, fu, fd, bt, up, down, padding, gain, slope, clamp,
-            c_block=c_block, interpret=interpret)
+            c_block=c_block, interpret=interpret, w_phases=w_phases)
         if out is not None:
             _, oh, ow, _ = out.shape
             out = out.reshape(oh, ow, n0, c0)
@@ -394,6 +477,8 @@ def fused_filtered_lrelu(
         terms = _separate_2d(fd[::-1, ::-1])
         if terms is None:
             return None
+        if x.dtype == jnp.bfloat16:
+            terms = _truncate_rank_terms(terms)
     td_h = len(terms[0][0])
     td_w = len(terms[0][1])
 
@@ -431,7 +516,7 @@ def fused_filtered_lrelu(
         _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
         slope=float(slope), gain=float(gain),
         clamp=None if clamp is None else float(clamp), u=up, dims=dims,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, w_phases=w_phases)
 
     # 1-D grid so the kernel can prefetch step k+1's input tile while
     # computing step k (manual double buffering; Mosaic already pipelines
@@ -588,17 +673,17 @@ def _up_pass_taps(x, plan: _AxisPlan, taps_1d: np.ndarray, axis: int,
         taps = taps_1d[s0::plan.u]
         c_p = (p + s0 - plan.pad0_) // plan.u
         off = c_p - plan.base_in
-        acc = None
+        terms = []
         for j, tap in enumerate(np.asarray(taps, np.float64)):
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(off + j, off + j + count)
-            term = x[tuple(idx)] * float(tap)
-            acc = term if acc is None else acc + term
-        if acc is None:
+            terms.append(x[tuple(idx)] * float(tap))
+        if not terms:
             shape = list(x.shape)
             shape[axis] = count
-            acc = jnp.zeros(shape, x.dtype)
-        planes.append(acc)
+            planes.append(jnp.zeros(shape, x.dtype))
+        else:
+            planes.append(_tree_sum(terms))
     return planes
 
 
@@ -655,6 +740,8 @@ def fused_filtered_lrelu_bwd(
         terms = _separate_2d(fd)
         if terms is None:
             return None
+        if dy.dtype == jnp.bfloat16:
+            terms = _truncate_rank_terms(terms)  # match the forward's rank
         up_terms = [(col * 2.0, row * 2.0) for col, row in terms]
     # Down taps from fu, unflipped; the overall gain·u²/d² applies at the
     # mask stage (point_gain).

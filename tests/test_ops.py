@@ -251,6 +251,44 @@ def test_fused_filtered_lrelu_vs_composition():
                                    atol=2e-5, rtol=2e-5, err_msg=s.name)
 
 
+def test_fused_filtered_lrelu_bf16_rank_truncation():
+    """bf16 layers run SVD-rank-truncated radial down filters (tol 1e-4):
+    the truncated result must stay within bf16's own noise of the exact
+    fp32 composition, and the truncation must actually drop ranks on the
+    SG3-R radial filters (the perf point of it)."""
+    import math
+
+    from stylegan3_editing_tpu.models.sg3.config import (
+        build_synthesis_layout, sg3_r_config)
+    from stylegan3_editing_tpu.ops.filtered_lrelu import filtered_lrelu
+    from stylegan3_editing_tpu.ops.fir import _separate_2d
+    from stylegan3_editing_tpu.ops.pallas_flrelu import (
+        _truncate_rank_terms, fused_filtered_lrelu)
+
+    layout = build_synthesis_layout(sg3_r_config(1024))
+    s = next(l for l in layout.layers if l.name == "L8_276_406")
+    full = _separate_2d(np.asarray(s.down_filter, np.float64))
+    kept = _truncate_rank_terms(full)
+    assert len(full) == 4 and len(kept) == 3  # σ₄/σ₁ ≈ 1.9e-5 < 1e-4
+
+    rng = np.random.RandomState(1)
+    x32 = rng.randn(2, 24, 24, 32).astype(np.float32)
+    b = jnp.asarray(rng.randn(32).astype(np.float32))
+    ref = filtered_lrelu(
+        jnp.asarray(x32), fu=s.up_filter, fd=s.down_filter, b=b,
+        up=s.up_factor, down=s.down_factor, padding=s.padding,
+        clamp=s.conv_clamp, impl="xla")
+    got = fused_filtered_lrelu(
+        jnp.asarray(x32).astype(jnp.bfloat16), s.up_filter, s.down_filter,
+        b, s.up_factor, s.down_factor, tuple(s.padding),
+        gain=math.sqrt(2), slope=0.2, clamp=s.conv_clamp, c_block=32)
+    assert got is not None
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    # bf16 storage alone gives ~4e-3 relative; truncation adds ≤ 2e-4.
+    assert err.max() <= 2e-2 * scale, err.max() / scale
+
+
 def test_fused_filtered_lrelu_unsupported_configs():
     from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
 
