@@ -36,7 +36,7 @@ def layer_flops(L, batch: int) -> float:
     uw = L.in_size[1] * L.up_factor
     per_point = 2 * (L.up_taps / L.up_factor) * 2 + 4  # sep up (H+W) + act
     down_pts = (uh // L.down_factor) * (uw // L.down_factor)
-    rank = 1
+    rank = 1.0
     fd = np.asarray(L.down_filter, np.float64)
     if fd.ndim == 2:
         from stylegan3_editing_tpu.ops.fir import _separate_2d
@@ -45,7 +45,11 @@ def layer_flops(L, batch: int) -> float:
         terms = _separate_2d(fd) or []
         if L.use_bf16:
             terms = _truncate_rank_terms(terms)
-        rank = max(len(terms), 1)
+        # Effective rank = nonzero-tap fraction (tap-tail compression
+        # zeroes entries; the chains skip them — no FMA issued).
+        nz = sum(int(np.count_nonzero(c)) + int(np.count_nonzero(r))
+                 for c, r in terms)
+        rank = max(nz / (2.0 * L.down_taps), 1e-6)
     down = 2 * (L.down_taps / 1) * 2 * rank * down_pts  # sep down per rank
     return batch * L.out_channels * (uh * uw * per_point + down)
 

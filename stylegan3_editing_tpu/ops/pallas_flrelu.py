@@ -131,7 +131,15 @@ def _down_groups(u: int, td: int):
 def _act_lrelu(v, slope: float, gain: float, clamp: Optional[float]):
     # Python-float (weak-typed) constants keep the compute dtype — the
     # kernel runs fp32 by default, bf16 under SG3TPU_FLRELU_BF16=1.
-    v = jnp.where(v >= 0, v, v * float(slope)) * float(gain)
+    # For 0 ≤ slope ≤ 1, lrelu is max(v, slope·v): 2 vector ops instead of
+    # cmp+mul+select. The fused forward folds gain into the down-FIR taps
+    # (linear; clamp bound pre-divided) and passes gain=1 — the act runs on
+    # the 4×-sized up grid, so each op saved there counts quadruple.
+    s = float(slope)
+    if 0.0 <= s <= 1.0 and float(gain) == 1.0:
+        v = jnp.maximum(v, v * s)
+    else:
+        v = jnp.where(v >= 0, v, v * s) * float(gain)
     if clamp is not None:
         v = jnp.clip(v, -float(clamp), float(clamp))
     return v
@@ -151,9 +159,21 @@ def _tree_sum(terms):
     return acc
 
 
+def _ablated(stage: str, axis: int) -> bool:
+    """Timing diagnostic: SG3TPU_FLRELU_ABLATE lists pass tokens
+    (up/down × h/w, e.g. 'upw,downh') whose tap chains collapse to their
+    FIRST term only — identical shapes/geometry, wrong numerics, so the
+    measured delta isolates where kernel time actually goes."""
+    import os
+
+    tok = ("up" if stage == "up" else "down") + ("h" if axis == 0 else "w")
+    return tok in os.environ.get("SG3TPU_FLRELU_ABLATE", "").split(",")
+
+
 def _up_pass(x, plan: _AxisPlan, axis: int, count: int, phases=None):
     """Phase planes along `axis`: list of u arrays with `count` entries.
     `phases` restricts computation to a subset (others → None)."""
+    ablate = _ablated("up", axis)
     planes = []
     for p in range(plan.u):
         if phases is not None and p not in phases:
@@ -163,9 +183,13 @@ def _up_pass(x, plan: _AxisPlan, axis: int, count: int, phases=None):
         off = plan.win_off[p]
         terms = []
         for j, tap in enumerate(taps):
+            if float(tap) == 0.0:  # compressed-out tap — no FMA
+                continue
             idx = [slice(None)] * x.ndim
             idx[axis] = slice(off + j, off + j + count)
             terms.append(x[tuple(idx)] * float(tap))
+        if ablate:
+            terms = terms[:1]
         if not terms:
             shape = list(x.shape)
             shape[axis] = count
@@ -182,14 +206,20 @@ def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int,
     Planes may be None (phase-subset partial kernels): their taps are
     skipped and the caller sums the partials outside."""
     classes, plan = _down_groups(u, len(taps))
+    ablate = _ablated("down", axis)
     terms = [[] for _ in range(classes)]
     for a, p, off, t in plan:
-        if planes[p] is None:
+        if planes[p] is None or float(taps[t]) == 0.0:
             continue
         idx = [slice(None)] * planes[p].ndim
         idx[axis] = slice(off, off + count)
         terms[a].append(planes[p][tuple(idx)] * float(taps[t]))
+    if ablate:
+        terms = [ts[:1] for ts in terms]
     outs = [_tree_sum(ts) if ts else None for ts in terms]
+    if ref_shape is None and any(o is None for o in outs):
+        src = next(p for p in planes if p is not None)
+        ref_shape = src.shape
     if ref_shape is not None:
         for a in range(classes):
             if outs[a] is None:
@@ -200,26 +230,55 @@ def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int,
 
 
 def _truncate_rank_terms(terms, tol: Optional[float] = None):
-    """Drop SVD rank terms with σ_r ≤ tol·σ_0 — bf16 layers only.
+    """Compress the SVD rank terms of a radial down filter — bf16 only.
 
-    `_separate_2d` keeps ranks down to 1e-6·σ_0, but the radial (jinc) down
-    filters' spectra collapse (σ₂/σ₁ ≈ 1e-3…7e-2, σ₃/σ₁ ≤ 3e-3): at the
-    default tol 1e-4 the filter error is ≤ 2e-4 relative — ~20× below
-    bf16's own ~4e-3 resolution — while the down-pass flop count (up to
-    63% of the kernel) drops ∝ rank (SG3-R hot layers: rank 3-4 → 2-3).
-    Applied only when the layer already runs bf16; fp32 layers keep the
-    1e-6-exact separation (reference parity 3.7e-7). SG3TPU_FD_RANK_TOL=0
-    disables. ||col_r||₂ = σ_r by construction (fir._separate_2d).
+    Two moves, both bounded by the SAME relative-error budget tol·σ₀
+    (Frobenius; σ₀ ≈ ‖fd‖_F):
+      (a) drop whole rank terms with σ_r ≤ tol·σ₀;
+      (b) zero tap-TAIL entries of the surviving 1-D factors while the
+          accumulated RSS error stays ≤ tol·σ₀ — the chains skip
+          zero taps, so every zeroed tap is one vector FMA saved with NO
+          geometry change (offsets/pads untouched).
+
+    Ablation on the chip located ~60-75% of hot-layer kernel time in the
+    down-pass FMA chains (L11: down-W 48 ms + down-H 37 ms of 77.6 total),
+    so rank × taps is THE lever. At the default tol 3e-3 the SG3-R radial
+    layers go rank 4→2 (L8/L11) / 3→2 / 2→1 (L5) with filter error
+    ≤ 3.0e-3 relative — at bf16's own ~4e-3 resolution, on layers already
+    storing activations in bf16. fp32 layers keep the 1e-6-exact
+    separation (reference parity 3.7e-7). SG3TPU_FD_RANK_TOL=0 disables.
+    ‖col_r‖₂ = σ_r, ‖row_r‖₂ = 1 by construction (fir._separate_2d).
     """
     import os
 
     if tol is None:
-        tol = float(os.environ.get("SG3TPU_FD_RANK_TOL", "1e-4"))
-    if tol <= 0 or len(terms) <= 1:
+        tol = float(os.environ.get("SG3TPU_FD_RANK_TOL", "3e-3"))
+    if tol <= 0:
         return terms
     sigmas = [float(np.linalg.norm(col)) for col, _ in terms]
     keep = [t for t, s in zip(terms, sigmas) if s > tol * sigmas[0]]
-    return keep if keep else terms[:1]
+    if not keep:
+        keep = terms[:1]
+    # (b) zero the smallest-contribution tap entries, tails inward, while
+    # the total RSS (ranks dropped in (a) are far below tol·σ₀ and are
+    # ignored here) stays within budget. Zeroing col_r[t] perturbs fd by
+    # |col_r[t]|·‖row_r‖ = |col_r[t]|; zeroing row_r[t] by σ_r·|row_r[t]|.
+    budget = (tol * sigmas[0]) ** 2
+    spent = 0.0
+    cand = []  # (err², rank_index, which_factor, tap_index)
+    for r, (col, row) in enumerate(keep):
+        s_r = float(np.linalg.norm(col))
+        for t in range(len(col)):
+            cand.append((float(col[t]) ** 2, r, 0, t))
+        for t in range(len(row)):
+            cand.append((s_r * float(row[t]) ** 2 * s_r, r, 1, t))
+    keep = [(col.copy(), row.copy()) for col, row in keep]
+    for err2, r, which, t in sorted(cand):
+        if err2 == 0.0 or spent + err2 > budget:
+            continue
+        spent += err2
+        keep[r][which][t] = 0.0
+    return keep
 
 
 def _interleave(parts, axis: int):
@@ -512,10 +571,19 @@ def fused_filtered_lrelu(
     compute_dtype = (jnp.bfloat16
                      if _os2.environ.get("SG3TPU_FLRELU_BF16") == "1"
                      else jnp.float32)
+    # Fold the act gain into one down-FIR factor per rank (linear in the
+    # activated planes) and pre-divide the clamp bound: the per-plane act
+    # drops from 6 vector ops to 4, on the up grid where every point is
+    # u² output points' worth of work.
+    k_gain, k_clamp = float(gain), clamp
+    if k_gain > 0.0 and k_gain != 1.0:
+        terms = [(col * k_gain, row) for col, row in terms]
+        k_clamp = None if clamp is None else float(clamp) / k_gain
+        k_gain = 1.0
     kernel = functools.partial(
         _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
-        slope=float(slope), gain=float(gain),
-        clamp=None if clamp is None else float(clamp), u=up, dims=dims,
+        slope=float(slope), gain=k_gain,
+        clamp=None if k_clamp is None else float(k_clamp), u=up, dims=dims,
         compute_dtype=compute_dtype, w_phases=w_phases)
 
     # 1-D grid so the kernel can prefetch step k+1's input tile while
@@ -757,8 +825,12 @@ def fused_filtered_lrelu_bwd(
     lo_w2 = (yw * 2 + pp_x0 + pp_x1 - (tu_b - 1) - (tu_w - 1) + 1) // 2
     if lo_h2 <= 0 or lo_w2 <= 0:
         return None
+    # u=4 mask planes enlarge the true footprint beyond the model: 30 MB
+    # tiles put the L10 backward 2% over the 110 MB scoped-VMEM ceiling
+    # (measured: "Scoped allocation 112.19M, limit 110.00M").
+    bwd_budget = (24 if up == 4 else 30) * 2 ** 20
     tm, tw = _pick_tiles(2, tu_b, tu_h, c_block, esize, w_align=w_align,
-                         budget=30 * 2 ** 20, len_out_h=lo_h2,
+                         budget=bwd_budget, len_out_h=lo_h2,
                          len_out_w=lo_w2)
     # The mask plans (up = u_fwd) add their own constraints: H stride
     # divisibility (tile even for u=4) and W DMA alignment

@@ -252,10 +252,12 @@ def test_fused_filtered_lrelu_vs_composition():
 
 
 def test_fused_filtered_lrelu_bf16_rank_truncation():
-    """bf16 layers run SVD-rank-truncated radial down filters (tol 1e-4):
-    the truncated result must stay within bf16's own noise of the exact
-    fp32 composition, and the truncation must actually drop ranks on the
-    SG3-R radial filters (the perf point of it)."""
+    """bf16 layers run rank-truncated + tap-compressed radial down filters
+    (tol 3e-3 ≈ bf16's own resolution): the compressed result must stay
+    within bf16 noise of the exact fp32 composition, and the compression
+    must actually drop ranks/taps on the SG3-R radial filters (the perf
+    point — chip ablation put ~60-75%% of hot-layer kernel time in the
+    down-pass FMA chains)."""
     import math
 
     from stylegan3_editing_tpu.models.sg3.config import (
@@ -269,7 +271,19 @@ def test_fused_filtered_lrelu_bf16_rank_truncation():
     s = next(l for l in layout.layers if l.name == "L8_276_406")
     full = _separate_2d(np.asarray(s.down_filter, np.float64))
     kept = _truncate_rank_terms(full)
-    assert len(full) == 4 and len(kept) == 3  # σ₄/σ₁ ≈ 1.9e-5 < 1e-4
+    assert len(full) == 4 and len(kept) == 2  # σ₃/σ₁ ≈ 2.9e-3 < 3e-3
+    # Tap zeroing is budget-gated: on the SG3-R jinc factors no tap is
+    # small enough to zero within tol (kept factors stay dense) — the
+    # chains must still handle zeros (structural zeros in other filters).
+    nz = sum(int(np.count_nonzero(col)) + int(np.count_nonzero(row))
+             for col, row in kept)
+    tot = sum(len(col) + len(row) for col, row in kept)
+    assert nz <= tot, (nz, tot)
+    # And the compressed 2-D filter stays within the error budget.
+    fd = np.asarray(s.down_filter, np.float64)
+    approx = sum(np.outer(col, row) for col, row in kept)
+    rel = np.linalg.norm(approx - fd) / np.linalg.norm(fd)
+    assert rel <= 4.5e-3, rel  # tol 3e-3 each for rank + taps, RSS-combined
 
     rng = np.random.RandomState(1)
     x32 = rng.randn(2, 24, 24, 32).astype(np.float32)
