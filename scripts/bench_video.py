@@ -1,0 +1,114 @@
+"""End-to-end video inversion+edit throughput on the TPU chip (frames/sec).
+
+SURVEY §6 names "frames/sec video inversion+edit end-to-end" a north-star
+metric (reference pipeline: inversion/video/inference_on_video.py — per-frame
+ReStyle iterations + landmark-transform decode + InterFaceGAN edit render;
+the reference records no number of its own, README.md:507 only cites
+"~30 seconds per image" for an animation variant).
+
+Measures, per frame batch, the device-side pipeline exactly as
+`scripts/inference_on_video.py` runs it:
+  3 ReStyle iterations (encoder 256² + batched aligned+unaligned 1024²
+  decode) + 1 edited 1024² render from shifted codes.
+Random-init weights (no pretrained assets in this env) — throughput is
+weight-independent. bf16 flagship synthesis (the TPU default at ≥1024²).
+
+Timing: chained fori_loop + forced scalar transfer (block_until_ready is a
+no-op under axon). Usage: python scripts/bench_video.py [--batch 2 --iters 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sg3tpu_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=2,
+                    help="timed pipeline repetitions (chained)")
+    ap.add_argument("--n_restyle", type=int, default=3)
+    ap.add_argument("--dry", action="store_true",
+                    help="trace-only (jax.eval_shape) — validates wiring "
+                         "without device compute; for CPU CI")
+    args = ap.parse_args()
+
+    from stylegan3_editing_tpu.models.encoders.restyle import (
+        RestyleNet, get_average_image, run_restyle_iterations)
+    from stylegan3_editing_tpu.models.sg3 import sg3_r_config
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        res_label, cfg = "1024²", sg3_r_config(1024)
+    else:  # CPU smoke mode so the script is runnable anywhere
+        res_label = "64² (CPU smoke)"
+        cfg = sg3_r_config(64, channel_base=2048, channel_max=64,
+                           num_layers=6, use_bf16=False)
+    model = RestyleNet(decoder_cfg=cfg, n_styles=cfg.num_ws)
+    x0 = jnp.zeros((args.batch, 256, 256, 3))
+    # A fixed editing direction (InterFaceGAN-style linear shift in W).
+    direction = jax.random.normal(jax.random.PRNGKey(1), (512,)) * 0.05
+    lt = jnp.eye(3, dtype=jnp.float32)
+
+    def pipeline(variables, avg_image, latent_avg, x):
+        results = run_restyle_iterations(
+            model, variables, x, avg_image, latent_avg,
+            n_iters=args.n_restyle, landmarks_transform=lt, resize=True)
+        _, unaligned, codes = results[-1]
+        edited, _ = model.apply(
+            variables, codes + direction[None, None], input_code=True,
+            landmarks_transform=lt, return_aligned_and_unaligned=False,
+            resize=False, method=model.__call__)
+        return unaligned, edited
+
+    def body(variables, avg_image, latent_avg, seed):
+        def step(i, acc):
+            x = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(2), i + seed),
+                (args.batch, 256, 256, 3))
+            unaligned, edited = pipeline(variables, avg_image, latent_avg, x)
+            return (acc + jnp.sum(edited, dtype=jnp.float32)
+                    + jnp.sum(unaligned, dtype=jnp.float32))
+        return lax.fori_loop(0, args.iters, step, jnp.float32(0))
+
+    if args.dry:  # fully abstract — no weight materialization or compute
+        vars_abs = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.concatenate([x0, x0], axis=-1),
+            latent_avg=jnp.zeros((512,)))
+        avg_abs = jax.ShapeDtypeStruct((256, 256, 3), jnp.float32)
+        lat_abs = jax.ShapeDtypeStruct((512,), jnp.float32)
+        out = jax.eval_shape(body, vars_abs, avg_abs, lat_abs, 0)
+        print(f"dry OK: pipeline traces, result {out.shape} {out.dtype}")
+        return
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.concatenate([x0, x0], axis=-1),
+        latent_avg=jnp.zeros((512,)))
+    avg_image, latent_avg = get_average_image(model, variables)
+    run = jax.jit(lambda seed: body(variables, avg_image, latent_avg, seed))
+    t0 = time.perf_counter()
+    float(run(0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(1))
+    dt = time.perf_counter() - t0
+    fps = args.batch * args.iters / dt
+    print(f"video inversion+edit: {fps:.3f} frames/s "
+          f"({args.n_restyle} ReStyle iters + edit render at {res_label}, "
+          f"batch {args.batch}; compile+first {compile_s:.0f} s)")
+
+
+if __name__ == "__main__":
+    main()
