@@ -199,61 +199,34 @@ def _up_pass(x, plan: _AxisPlan, axis: int, count: int, phases=None):
     return planes
 
 
-def _down_pass_multi(planes, taps_list, u: int, axis: int, count: int,
-                     ref_shape=None):
-    """Stride-2 down-FIR over `u` phase planes for SEVERAL tap vectors at
-    once → ``outs[r][a]`` (rank r, parity class a).
-
-    Each (plane, offset) window is SLICED ONCE and feeds every (rank,
-    class) FMA that uses it. Measured motivation (L10/L11 ablations): the
-    down chains run ~50% of the VPU probe rate because each FMA pairs with
-    its own VMEM operand load; ranks read IDENTICAL windows (only the tap
-    weight differs), and for u=4 both parity classes overlap windows too —
-    sharing the load across those uses raises the FMA:load ratio.
+def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int,
+               ref_shape=None):
+    """Stride-2 down-FIR over `u` phase planes → list of parity outputs.
 
     Planes may be None (phase-subset partial kernels): their taps are
     skipped and the caller sums the partials outside."""
-    classes, plan = _down_groups(u, len(taps_list[0]))
+    classes, plan = _down_groups(u, len(taps))
     ablate = _ablated("down", axis)
-    by_slice = {}
+    terms = [[] for _ in range(classes)]
     for a, p, off, t in plan:
-        if planes[p] is None:
+        if planes[p] is None or float(taps[t]) == 0.0:
             continue
-        by_slice.setdefault((p, off), []).append((a, t))
-    terms = [[[] for _ in range(classes)] for _ in taps_list]
-    for (p, off) in sorted(by_slice):
         idx = [slice(None)] * planes[p].ndim
         idx[axis] = slice(off, off + count)
-        window = None  # sliced lazily: all taps may be zero
-        for a, t in by_slice[(p, off)]:
-            for r, taps in enumerate(taps_list):
-                tap = float(taps[t])
-                if tap == 0.0:
-                    continue
-                if window is None:
-                    window = planes[p][tuple(idx)]
-                terms[r][a].append(window * tap)
+        terms[a].append(planes[p][tuple(idx)] * float(taps[t]))
     if ablate:
-        terms = [[ts[:1] for ts in tr] for tr in terms]
-    outs = [[_tree_sum(ts) if ts else None for ts in tr] for tr in terms]
-    if ref_shape is None and any(o is None for tr in outs for o in tr):
+        terms = [ts[:1] for ts in terms]
+    outs = [_tree_sum(ts) if ts else None for ts in terms]
+    if ref_shape is None and any(o is None for o in outs):
         src = next(p for p in planes if p is not None)
         ref_shape = src.shape
     if ref_shape is not None:
-        for tr in outs:
-            for a in range(classes):
-                if tr[a] is None:
-                    shape = list(ref_shape)
-                    shape[axis] = count
-                    tr[a] = jnp.zeros(shape, jnp.float32)
+        for a in range(classes):
+            if outs[a] is None:
+                shape = list(ref_shape)
+                shape[axis] = count
+                outs[a] = jnp.zeros(shape, jnp.float32)
     return outs
-
-
-def _down_pass(planes, taps: np.ndarray, u: int, axis: int, count: int,
-               ref_shape=None):
-    """Single-tap-vector convenience wrapper over `_down_pass_multi`."""
-    return _down_pass_multi(planes, [taps], u, axis, count,
-                            ref_shape=ref_shape)[0]
 
 
 def _truncate_rank_terms(terms, tol: Optional[float] = None):
@@ -398,16 +371,12 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     tw = plan_w.tile // classes_w
     ref_shape = a_planes[0][active_w[0]].shape
     out_acc = [[None] * classes_w for _ in range(classes_h)]
-    # W-pass first, ALL ranks per window load (ranks share identical
-    # activated-plane windows); the per-rank H-pass arrays then differ, so
-    # only u=4's overlapping parity classes share loads there.
-    row_list = [row_taps for _, row_taps in terms]
-    dw = [_down_pass_multi(a_planes[p_h], row_list, u, axis=1, count=tw,
-                           ref_shape=ref_shape)
-          for p_h in range(u)]  # dw[p_h][rank][a_w]
-    for r, (col_taps, _) in enumerate(terms):
+    for col_taps, row_taps in terms:
+        dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw,
+                         ref_shape=ref_shape)
+              for p_h in range(u)]
         for a_w in range(classes_w):
-            cols = _down_pass([dw[p_h][r][a_w] for p_h in range(u)],
+            cols = _down_pass([dw[p_h][a_w] for p_h in range(u)],
                               col_taps, u, axis=0, count=th)
             for a_h in range(classes_h):
                 prev = out_acc[a_h][a_w]
