@@ -32,7 +32,7 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        res, batch, iters = 1024, 2, 10
+        res, batch, iters = 1024, int(os.environ.get("SG3TPU_BENCH_BATCH", "8")), 10
         cfg = sg3_r_config(res)
     else:  # CPU smoke mode (slim channels) so the bench is runnable anywhere
         res, batch, iters = 64, 1, 2
