@@ -39,6 +39,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -281,6 +282,64 @@ def _truncate_rank_terms(terms, tol: Optional[float] = None):
     return keep
 
 
+def _down_matrices(terms, u: int, classes: int, count: int, q_count: int,
+                   which: int) -> np.ndarray:
+    """Banded matrices for the MXU down-pass (SG3TPU_FLRELU_DOWN=mxu).
+
+    One [count, q_count] matrix per (rank, parity class, phase plane),
+    flattened to [R·classes·u, count, q_count] — index (r·classes+a)·u+p.
+    M[j, q] = taps[t] where the stride-2 polyphase read plan
+    (`_down_groups`) maps output j of class a to plane p, row q = y//u + j,
+    y = 2a + t. The whole banded structure lives in the matrix, so the
+    kernel contracts each phase plane's row axis with ONE `dot_general`
+    (rides the MXU) instead of a `taps`-long VPU FMA chain.
+    `which`: 0 = col taps (H stage), 1 = row taps (W stage).
+    """
+    mats = np.zeros((len(terms) * classes * u, count, q_count), np.float32)
+    for r, term in enumerate(terms):
+        taps = term[which]
+        for a in range(classes):
+            for t in range(len(taps)):
+                v = float(taps[t])
+                if v == 0.0:
+                    continue
+                y = 2 * a + t
+                p, off = y % u, y // u
+                idx = (r * classes + a) * u + p
+                for j in range(count):
+                    q = off + j
+                    if q < q_count:
+                        mats[idx, j, q] += v
+    return mats
+
+
+def _down_dot(planes, mat_of, u: int, classes: int, prec, cast_dtype):
+    """MXU down stage: per parity class, Σ_p M[a,p] · planes[p].
+
+    planes[p]: [L, Q, C] with the contraction axis in the MIDDLE (axis 1);
+    dot_general (((1,), (1,)), ((), ())) yields [count, L, C] — the downed
+    axis moves to the FRONT, so chaining W then H stages lands the output
+    tile in [TM, TW, C] order directly.
+    """
+    outs = []
+    for a in range(classes):
+        acc = None
+        for p in range(u):
+            if planes[p] is None:
+                continue
+            m = mat_of(a, p)
+            x = planes[p]
+            if cast_dtype is not None:
+                m = m.astype(cast_dtype)
+                x = x.astype(cast_dtype)
+            d = lax.dot_general(m, x, (((1,), (1,)), ((), ())),
+                                precision=prec,
+                                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        outs.append(acc)
+    return outs
+
+
 def _interleave(parts, axis: int):
     """Interleave parity-class arrays along `axis` (stack + reshape)."""
     if len(parts) == 1:
@@ -303,9 +362,17 @@ def _decode_step(k, dims):
     return n, hb, wb, cb
 
 
+def _flrelu_kernel_mxu(x_ref, b_ref, mw_ref, mh_ref, o_ref, xt, sem, **kw):
+    """Operand-order shim: the MXU-down variant takes the banded down
+    matrices as two extra VMEM inputs."""
+    _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, mw_ref=mw_ref,
+                   mh_ref=mh_ref, **kw)
+
+
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
                    terms, slope, gain, clamp, u, dims,
-                   compute_dtype=jnp.float32, w_phases=None):
+                   compute_dtype=jnp.float32, w_phases=None,
+                   mw_ref=None, mh_ref=None, mxu_prec=None, mxu_cast=None):
     """One output tile per 1-D grid step, with double-buffered input DMA:
     step k waits on the tile prefetched at step k-1 and starts step k+1's
     transfer before computing (guide pattern 'Double Buffering')."""
@@ -371,18 +438,41 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     tw = plan_w.tile // classes_w
     ref_shape = a_planes[0][active_w[0]].shape
     out_acc = [[None] * classes_w for _ in range(classes_h)]
-    for col_taps, row_taps in terms:
-        dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw,
-                         ref_shape=ref_shape)
-              for p_h in range(u)]
-        for a_w in range(classes_w):
-            cols = _down_pass([dw[p_h][a_w] for p_h in range(u)],
-                              col_taps, u, axis=0, count=th)
-            for a_h in range(classes_h):
-                prev = out_acc[a_h][a_w]
-                out_acc[a_h][a_w] = cols[a_h] if prev is None \
-                    else prev + cols[a_h]
+    if mw_ref is not None:
+        # MXU down: both stages as banded dot_generals over the phase
+        # planes' middle axis (see _down_matrices / _down_dot).
+        for r in range(len(terms)):
+            tw_stage = [_down_dot(
+                a_planes[p_h],
+                lambda a, p: mw_ref[(r * classes_w + a) * u + p],
+                u, classes_w, mxu_prec, mxu_cast) for p_h in range(u)]
+            for a_w in range(classes_w):
+                cols = _down_dot(
+                    [tw_stage[p_h][a_w] for p_h in range(u)],
+                    lambda a, p: mh_ref[(r * classes_h + a) * u + p],
+                    u, classes_h, mxu_prec, mxu_cast)
+                for a_h in range(classes_h):
+                    prev = out_acc[a_h][a_w]
+                    out_acc[a_h][a_w] = cols[a_h] if prev is None \
+                        else prev + cols[a_h]
+    else:
+        for col_taps, row_taps in terms:
+            dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw,
+                             ref_shape=ref_shape)
+                  for p_h in range(u)]
+            for a_w in range(classes_w):
+                cols = _down_pass([dw[p_h][a_w] for p_h in range(u)],
+                                  col_taps, u, axis=0, count=th)
+                for a_h in range(classes_h):
+                    prev = out_acc[a_h][a_w]
+                    out_acc[a_h][a_w] = cols[a_h] if prev is None \
+                        else prev + cols[a_h]
 
+    for a_h in range(classes_h):
+        for a_w in range(classes_w):
+            if out_acc[a_h][a_w] is None:  # degenerate split geometries
+                out_acc[a_h][a_w] = jnp.zeros((th, tw, ref_shape[-1]),
+                                              jnp.float32)
     rows = [_interleave(out_acc[a_h], axis=1) for a_h in range(classes_h)]
     o_ref[0] = _interleave(rows, axis=0).astype(o_ref.dtype)
 
@@ -580,11 +670,39 @@ def fused_filtered_lrelu(
         terms = [(col * k_gain, row) for col, row in terms]
         k_clamp = None if clamp is None else float(clamp) / k_gain
         k_gain = 1.0
+
+    # Down-pass engine: 'vpu' (tap FMA chains, default) or 'mxu' / 'mxu_bf16'
+    # (banded dot_generals — the down matrices ride the systolic array; the
+    # banding waste ~Q/taps is repaid by the MXU:VPU peak ratio). 'mxu' keeps
+    # f32 operands at HIGHEST precision for fp32 layers / DEFAULT for bf16
+    # layers; 'mxu_bf16' casts planes+matrices to bf16 (native MXU pass).
+    down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "vpu")
+    classes = max(up // 2, 1)
+    mxu_kw = {}
+    extra_operands = []
+    extra_specs = []
+    if down_mode in ("mxu", "mxu_bf16"):
+        mw_np = _down_matrices(terms, up, classes, tw // classes,
+                               plan_w.q_count, which=1)
+        mh_np = _down_matrices(terms, up, classes, tm // classes,
+                               plan_h.q_count, which=0)
+        mxu_kw = dict(
+            mxu_prec=(lax.Precision.HIGHEST if dtype == jnp.float32
+                      else lax.Precision.DEFAULT),
+            mxu_cast=jnp.bfloat16 if down_mode == "mxu_bf16" else None)
+        extra_operands = [jnp.asarray(mw_np), jnp.asarray(mh_np)]
+        extra_specs = [
+            pl.BlockSpec(mw_np.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mh_np.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(
-        _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
+        _flrelu_kernel_mxu if extra_operands else _flrelu_kernel,
+        plan_h=plan_h, plan_w=plan_w, terms=terms,
         slope=float(slope), gain=k_gain,
         clamp=None if k_clamp is None else float(k_clamp), u=up, dims=dims,
-        compute_dtype=compute_dtype, w_phases=w_phases)
+        compute_dtype=compute_dtype, w_phases=w_phases, **mxu_kw)
 
     # 1-D grid so the kernel can prefetch step k+1's input tile while
     # computing step k (manual double buffering; Mosaic already pipelines
@@ -600,7 +718,7 @@ def fused_filtered_lrelu(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, 1, c_block),
                                lambda k: (_decode_step(k, dims)[3], 0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] + extra_specs,
         out_specs=pl.BlockSpec((1, tm, tw, c_block),
                                lambda k: _decode_step(k, dims),
                                memory_space=pltpu.VMEM),
@@ -611,7 +729,7 @@ def fused_filtered_lrelu(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(xp, bias)
+    )(xp, bias, *extra_operands)
     return out[:, :plan_h.len_out, :plan_w.len_out, :c]
 
 

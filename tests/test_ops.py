@@ -303,6 +303,54 @@ def test_fused_filtered_lrelu_bf16_rank_truncation():
     assert err.max() <= 2e-2 * scale, err.max() / scale
 
 
+def test_fused_filtered_lrelu_mxu_down_pass():
+    """SG3TPU_FLRELU_DOWN=mxu routes the down stage through banded
+    dot_generals (pallas_flrelu._down_matrices/_down_dot — the MXU engine)
+    and must match the VPU tap-chain path exactly in f32: same polyphase
+    read plan, expressed as matrices. Covers u=2/u=4 (split route), 1-D
+    and radial 2-D down filters, asymmetric padding."""
+    import math
+    import os
+
+    from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
+
+    rng = np.random.RandomState(7)
+    cases = [
+        (2, 24, 24, 8, False, (3, 3, 3, 3)),
+        (2, 30, 26, 16, True, (5, 2, 4, 3)),
+        (4, 16, 16, 8, True, (6, 6, 6, 6)),
+        (4, 20, 14, 4, False, (4, 5, 6, 3)),
+    ]
+    for u, hi, wi, c, radial, pad in cases:
+        x = jnp.asarray(rng.randn(2, hi, wi, c).astype(np.float32))
+        b = jnp.asarray(rng.randn(c).astype(np.float32))
+        fu = np.hanning(8 + u)[1:-1]
+        fu /= fu.sum()
+        if radial:
+            w1 = np.hanning(10)[1:-1]
+            fd = np.outer(w1, w1) / np.outer(w1, w1).sum() \
+                + 0.03 * np.outer(w1[::-1], w1)
+        else:
+            fd = np.hanning(10)[1:-1]
+            fd /= fd.sum()
+        args = (x, fu, fd, b, u, 2, pad, math.sqrt(2), 0.2, 256.0)
+        prev = os.environ.get("SG3TPU_FLRELU_DOWN")
+        try:
+            os.environ["SG3TPU_FLRELU_DOWN"] = "vpu"
+            want = fused_filtered_lrelu(*args)
+            os.environ["SG3TPU_FLRELU_DOWN"] = "mxu"
+            got = fused_filtered_lrelu(*args)
+        finally:
+            if prev is None:
+                os.environ.pop("SG3TPU_FLRELU_DOWN", None)
+            else:
+                os.environ["SG3TPU_FLRELU_DOWN"] = prev
+        assert got is not None and want is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6,
+                                   err_msg=f"u={u} radial={radial}")
+
+
 def test_fused_filtered_lrelu_unsupported_configs():
     from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
 
