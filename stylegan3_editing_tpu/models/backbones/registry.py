@@ -109,9 +109,11 @@ def _register_defaults():
     from .deit import DeiTFeatures, convert_deit
     from .efficientnet import (EfficientNetLite0Features,
                                convert_efficientnet_lite0)
-    from .resnet import (ResNet34Stages, ResNet50Stages,
-                         convert_resnet34_state, convert_resnet50_state)
-    from .vgg import VGG16Features, convert_vgg16_state
+    from .resnet import (ResNet18Stages, ResNet34Stages, ResNet50Stages,
+                         convert_resnet18_state, convert_resnet34_state,
+                         convert_resnet50_state)
+    from .vgg import (VGG16Features, VGG19Features, convert_vgg16_state,
+                      convert_vgg19_state)
 
     # Reference defaults (train_setgan.py:223-240).
     register("deit_base_distilled_patch16_224", DeiTFeatures,
@@ -133,6 +135,12 @@ def _register_defaults():
              convert_resnet50_state, (256, 512, 1024, 2048))
     register("resnet34", ResNet34Stages, IMAGENET_MEAN, IMAGENET_STD,
              convert_resnet34_state, (64, 128, 256, 512))
+    register("resnet18", ResNet18Stages, IMAGENET_MEAN, IMAGENET_STD,
+             convert_resnet18_state, (64, 128, 256, 512))
+    register("vgg19",
+             lambda **kw: SlicedStages(VGG19Features, take=(1, 2, 3, 4), **kw),
+             IMAGENET_MEAN, IMAGENET_STD, convert_vgg19_state,
+             (128, 256, 512, 512), nested=True)
     # ViT family via the CLIP visual trunk (reference vit_* families,
     # pretrained_builder.py:131-195).
     register("clip_vit_b32", CLIPViTStages, CLIP_MEAN, CLIP_STD,

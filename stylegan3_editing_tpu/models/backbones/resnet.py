@@ -174,9 +174,16 @@ class ResNet50Stages(nn.Module):
         return outs
 
 
-class ResNet34Stages(nn.Module):
-    """torchvision resnet34 (with stem) sliced into 4 stages
-    (/4 64ch, /8 128ch, /16 256ch, /32 512ch)."""
+RESNET18_LAYERS = ((2, 64), (2, 128), (2, 256), (2, 512))
+
+
+class ResNetBasicStages(nn.Module):
+    """torchvision resnet18/34 (with stem) sliced into 4 stages
+    (/4 64ch, /8 128ch, /16 256ch, /32 512ch); `layers` selects the depth
+    (reference pretrained_builder resnet18/resnet34 families,
+    pretrained_builder.py:118-130)."""
+
+    layers: tuple = RESNET34_LAYERS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -186,7 +193,7 @@ class ResNet34Stages(nn.Module):
         x = nn.relu(x)
         x = max_pool2d(x, 3, 2, padding=1)
         outs = []
-        for stage_i, (blocks, channels) in enumerate(RESNET34_LAYERS, start=1):
+        for stage_i, (blocks, channels) in enumerate(self.layers, start=1):
             for block_i in range(blocks):
                 stride = 2 if (stage_i > 1 and block_i == 0) else 1
                 downsample = block_i == 0 and stage_i > 1
@@ -196,10 +203,41 @@ class ResNet34Stages(nn.Module):
         return outs
 
 
-def convert_resnet34_state(state: Mapping[str, np.ndarray]) -> dict:
-    """torchvision resnet34 state dict (incl. stem) → ResNet34Stages vars."""
-    body = convert_resnet34_body_state(state)
-    params, stats = body["params"], body["batch_stats"]
+def ResNet34Stages(**kw):
+    return ResNetBasicStages(layers=RESNET34_LAYERS, **kw)
+
+
+def ResNet18Stages(**kw):
+    return ResNetBasicStages(layers=RESNET18_LAYERS, **kw)
+
+
+def _convert_basic_stages_state(state: Mapping[str, np.ndarray],
+                                layers) -> dict:
+    params: dict = {}
+    stats: dict = {}
     put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
     bn_from_torch(params, stats, "bn1", state, "bn1")
+    for stage_i, (blocks, _) in enumerate(layers, start=1):
+        for block_i in range(blocks):
+            t = f"layer{stage_i}.{block_i}"
+            o = f"layer{stage_i}_{block_i}"
+            for ci in (1, 2):
+                put(params, f"{o}/conv{ci}/kernel",
+                    conv_w(state[f"{t}.conv{ci}.weight"]))
+                bn_from_torch(params, stats, f"{o}/bn{ci}", state, f"{t}.bn{ci}")
+            if f"{t}.downsample.0.weight" in state:
+                put(params, f"{o}/down_conv/kernel",
+                    conv_w(state[f"{t}.downsample.0.weight"]))
+                bn_from_torch(params, stats, f"{o}/down_bn", state,
+                              f"{t}.downsample.1")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_resnet34_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet34 state dict (incl. stem) → ResNet34Stages vars."""
+    return _convert_basic_stages_state(state, RESNET34_LAYERS)
+
+
+def convert_resnet18_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet18 state dict (incl. stem) → ResNet18Stages vars."""
+    return _convert_basic_stages_state(state, RESNET18_LAYERS)

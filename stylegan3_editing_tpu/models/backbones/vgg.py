@@ -18,16 +18,20 @@ from .common import conv_w, put
 
 N_CHANNELS = (64, 128, 256, 512, 512)
 _STAGES = ((64, 64), (128, 128), (256, 256, 256), (512, 512, 512), (512, 512, 512))
+_STAGES19 = ((64, 64), (128, 128), (256,) * 4, (512,) * 4, (512,) * 4)
 
 
-class VGG16Features(nn.Module):
-    """NHWC input → list of 5 feature maps (end of each conv stage)."""
+class VGGFeatures(nn.Module):
+    """NHWC input → list of 5 feature maps (end of each conv stage);
+    `stages` selects the depth (vgg16 default, vgg19 via _STAGES19)."""
+
+    stages: tuple = _STAGES
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
         feats = []
         conv_idx = 0
-        for stage_i, widths in enumerate(_STAGES):
+        for stage_i, widths in enumerate(self.stages):
             if stage_i > 0:
                 x = max_pool2d(x, 2, 2)
             for width in widths:
@@ -38,11 +42,38 @@ class VGG16Features(nn.Module):
         return feats
 
 
+def VGG16Features(**kw):
+    return VGGFeatures(stages=_STAGES, **kw)
+
+
+def VGG19Features(**kw):
+    return VGGFeatures(stages=_STAGES19, **kw)
+
+
+def _convert_vgg_state(state: Mapping[str, np.ndarray], stages) -> dict:
+    """torchvision vggN state dict (features.N.*) → params: conv layers sit
+    at sequential `features` indices skipping ReLU (+MaxPool between
+    stages)."""
+    params: dict = {}
+    ours = 0
+    theirs = 0
+    for stage_i, widths in enumerate(stages):
+        if stage_i > 0:
+            theirs += 1  # MaxPool2d entry
+        for _ in widths:
+            put(params, f"conv{ours}/kernel",
+                conv_w(state[f"features.{theirs}.weight"]))
+            put(params, f"conv{ours}/bias", state[f"features.{theirs}.bias"])
+            ours += 1
+            theirs += 2  # Conv2d + ReLU
+    return {"params": params}
+
+
 def convert_vgg16_state(state: Mapping[str, np.ndarray]) -> dict:
     """torchvision vgg16 state dict (features.N.*) → params."""
-    torch_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
-    params: dict = {}
-    for ours, theirs in enumerate(torch_idx):
-        put(params, f"conv{ours}/kernel", conv_w(state[f"features.{theirs}.weight"]))
-        put(params, f"conv{ours}/bias", state[f"features.{theirs}.bias"])
-    return {"params": params}
+    return _convert_vgg_state(state, _STAGES)
+
+
+def convert_vgg19_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision vgg19 state dict (features.N.*) → params."""
+    return _convert_vgg_state(state, _STAGES19)

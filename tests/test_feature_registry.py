@@ -74,6 +74,40 @@ def _fake_resnet50():
     return state
 
 
+def _fake_vgg19():
+    widths = [64, 64, 128, 128] + [256] * 4 + [512] * 8
+    torch_idx = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+    state, in_c = {}, 3
+    for w, ti in zip(widths, torch_idx):
+        state[f"features.{ti}.weight"] = \
+            RNG.randn(w, in_c, 3, 3).astype(np.float32) * 0.05
+        state[f"features.{ti}.bias"] = np.zeros(w, np.float32)
+        in_c = w
+    return state
+
+
+def _fake_basic_resnet(layers):
+    state = {}
+    state["conv1.weight"] = RNG.randn(64, 3, 7, 7).astype(np.float32) * 0.05
+    _bn(state, "bn1", 64)
+    in_c = 64
+    for si, (blocks, ch) in enumerate(layers, start=1):
+        for bi in range(blocks):
+            t = f"layer{si}.{bi}"
+            state[f"{t}.conv1.weight"] = \
+                RNG.randn(ch, in_c, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn1", ch)
+            state[f"{t}.conv2.weight"] = \
+                RNG.randn(ch, ch, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn2", ch)
+            if bi == 0 and si > 1:
+                state[f"{t}.downsample.0.weight"] = \
+                    RNG.randn(ch, in_c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{t}.downsample.1", ch)
+            in_c = ch
+    return state
+
+
 def _fake_resnet34():
     state = {}
     state["conv1.weight"] = RNG.randn(64, 3, 7, 7).astype(np.float32) * 0.05
@@ -181,9 +215,12 @@ def _fake_clip():
 
 _FABRICATORS = {
     "vgg16": _fake_vgg16,
+    "vgg19": _fake_vgg19,
     "alexnet": _fake_alexnet,
     "resnet50": _fake_resnet50,
     "resnet34": _fake_resnet34,
+    "resnet18": lambda: _fake_basic_resnet(
+        ((2, 64), (2, 128), (2, 256), (2, 512))),
     "deit_base_distilled_patch16_224": _fake_deit,
     "tf_efficientnet_lite0": _fake_efficientnet,
     "clip_vit_b32": _fake_clip,
