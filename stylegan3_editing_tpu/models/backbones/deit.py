@@ -32,13 +32,16 @@ _STAGE_CH = (96, 192, 384, 768)
 class Block(nn.Module):
     """Pre-LN transformer block (timm ViT: fused qkv, GELU MLP)."""
 
+    heads: int = _HEADS
+
     @nn.compact
     def __call__(self, x):
         n, t, d = x.shape
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        qkv = nn.Dense(3 * d, name="qkv")(h).reshape(n, t, 3, _HEADS, d // _HEADS)
+        qkv = nn.Dense(3 * d, name="qkv")(h).reshape(
+            n, t, 3, self.heads, d // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) / np.sqrt(d // _HEADS)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) / np.sqrt(d // self.heads)
         attn = jax.nn.softmax(attn, axis=-1)
         o = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, d)
         x = x + nn.Dense(d, name="proj")(o)
@@ -54,52 +57,67 @@ class DeiTFeatures(nn.Module):
 
     Input is expected pre-normalized (IMAGENET stats, reference
     projector.py:16-20). Token grid must be 14×14 (224² / 16).
+    `dim`/`heads`/`stage_ch` select the family: base (768/12) default,
+    small = 384/6 with stage channels (48, 96, 192, 384)
+    (reference _make_vit, pretrained_builder.py:138-157).
     """
+
+    dim: int = _DIM
+    heads: int = _HEADS
+    stage_ch: tuple = _STAGE_CH
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
         n, hh, ww, _ = x.shape
+        dim = self.dim
         gh, gw = hh // 16, ww // 16
-        tok = nn.Conv(_DIM, (16, 16), strides=16, name="patch_embed")(x)
-        tok = tok.reshape(n, gh * gw, _DIM)
+        tok = nn.Conv(dim, (16, 16), strides=16, name="patch_embed")(x)
+        tok = tok.reshape(n, gh * gw, dim)
         cls = self.param("cls_token",
-                         lambda k: jnp.zeros((1, 1, _DIM), jnp.float32))
+                         lambda k: jnp.zeros((1, 1, dim), jnp.float32))
         dist = self.param("dist_token",
-                          lambda k: jnp.zeros((1, 1, _DIM), jnp.float32))
+                          lambda k: jnp.zeros((1, 1, dim), jnp.float32))
         pos = self.param(
             "pos_embed",
-            lambda k: jnp.zeros((1, 2 + 14 * 14, _DIM), jnp.float32))
+            lambda k: jnp.zeros((1, 2 + 14 * 14, dim), jnp.float32))
         tok = jnp.concatenate([jnp.tile(cls, (n, 1, 1)),
                                jnp.tile(dist, (n, 1, 1)), tok], axis=1)
         if gh * gw != pos.shape[1] - 2:  # interpolate pos embed (vit.py:100)
-            grid = pos[:, 2:].reshape(1, 14, 14, _DIM)
-            grid = jax.image.resize(grid, (1, gh, gw, _DIM), "bilinear")
+            grid = pos[:, 2:].reshape(1, 14, 14, dim)
+            grid = jax.image.resize(grid, (1, gh, gw, dim), "bilinear")
             pos = jnp.concatenate(
-                [pos[:, :2], grid.reshape(1, gh * gw, _DIM)], axis=1)
+                [pos[:, :2], grid.reshape(1, gh * gw, dim)], axis=1)
         tok = tok + pos
 
         hooks = {}
         for i in range(_DEPTH):
-            tok = Block(name=f"block{i}")(tok)
+            tok = Block(heads=self.heads, name=f"block{i}")(tok)
             if i in _HOOKS:
                 hooks[i] = tok
 
         outs = []
         for si, hook in enumerate(_HOOKS):
             t = hooks[hook][:, 2:]  # drop cls+dist (readout 'ignore')
-            fmap = t.reshape(n, gh, gw, _DIM)
-            fmap = nn.Conv(_STAGE_CH[si], (1, 1), name=f"head{si}_proj")(fmap)
+            fmap = t.reshape(n, gh, gw, dim)
+            fmap = nn.Conv(self.stage_ch[si], (1, 1),
+                           name=f"head{si}_proj")(fmap)
             if si == 0:
-                fmap = nn.ConvTranspose(_STAGE_CH[si], (4, 4), strides=(4, 4),
-                                        name="head0_up")(fmap)
+                fmap = nn.ConvTranspose(self.stage_ch[si], (4, 4),
+                                        strides=(4, 4), name="head0_up")(fmap)
             elif si == 1:
-                fmap = nn.ConvTranspose(_STAGE_CH[si], (2, 2), strides=(2, 2),
-                                        name="head1_up")(fmap)
+                fmap = nn.ConvTranspose(self.stage_ch[si], (2, 2),
+                                        strides=(2, 2), name="head1_up")(fmap)
             elif si == 3:
-                fmap = nn.Conv(_STAGE_CH[si], (3, 3), strides=2, padding=1,
-                               name="head3_down")(fmap)
+                fmap = nn.Conv(self.stage_ch[si], (3, 3), strides=2,
+                               padding=1, name="head3_down")(fmap)
             outs.append(fmap)
         return outs
+
+
+def DeiTSmallFeatures(**kw):
+    """timm `deit_small_distilled_patch16_224` (_make_vit 'small',
+    pretrained_builder.py:144-147)."""
+    return DeiTFeatures(dim=384, heads=6, stage_ch=(48, 96, 192, 384), **kw)
 
 
 def convert_deit(state: Mapping[str, np.ndarray]) -> dict:

@@ -37,6 +37,7 @@ _STAGES = (
 _LEVELS = ((0, 2), (2, 3), (3, 5), (5, 7))
 
 _relu6 = lambda v: jnp.minimum(jax.nn.relu(v), 6.0)
+_ACTS = {"relu6": _relu6, "silu": jax.nn.silu}
 
 
 def _bn_eps():
@@ -44,21 +45,41 @@ def _bn_eps():
     return BatchNorm(epsilon=1e-3)
 
 
+class SqueezeExcite(nn.Module):
+    """timm SqueezeExcite: pooled → conv_reduce → act → conv_expand → gate."""
+
+    reduced: int
+    act: str = "silu"
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), name="conv_reduce")(s)
+        s = _ACTS[self.act](s)
+        s = nn.Conv(x.shape[-1], (1, 1), name="conv_expand")(s)
+        return x * jax.nn.sigmoid(s)
+
+
 class DepthwiseSeparable(nn.Module):
-    """Stage-0 block: dw conv + pw linear projection (timm DS block)."""
+    """Stage-0 block: dw conv (+SE) + pw linear projection (timm DS block)."""
 
     out: int
     kernel: int
     stride: int
+    se_reduced: int = 0  # 0 = no SE (lite variants)
+    act: str = "relu6"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
+        act = _ACTS[self.act]
         y = nn.Conv(c, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=c, use_bias=False,
                     name="conv_dw")(x)
         y = BatchNorm(epsilon=1e-3, name="bn1")(y)
-        y = _relu6(y)
+        y = act(y)
+        if self.se_reduced:
+            y = SqueezeExcite(self.se_reduced, self.act, name="se")(y)
         y = nn.Conv(self.out, (1, 1), use_bias=False, name="conv_pw")(y)
         y = BatchNorm(epsilon=1e-3, name="bn2")(y)
         if self.stride == 1 and c == self.out:
@@ -67,25 +88,31 @@ class DepthwiseSeparable(nn.Module):
 
 
 class InvertedResidual(nn.Module):
-    """MBConv without SE (lite): pw expand → dw → pw linear (+residual)."""
+    """MBConv: pw expand → dw (+SE) → pw linear (+residual); SE off for
+    the lite variants."""
 
     out: int
     kernel: int
     stride: int
     expand: int
+    se_reduced: int = 0
+    act: str = "relu6"
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         mid = c * self.expand
+        act = _ACTS[self.act]
         y = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(x)
         y = BatchNorm(epsilon=1e-3, name="bn1")(y)
-        y = _relu6(y)
+        y = act(y)
         y = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
                     padding="SAME", feature_group_count=mid, use_bias=False,
                     name="conv_dw")(y)
         y = BatchNorm(epsilon=1e-3, name="bn2")(y)
-        y = _relu6(y)
+        y = act(y)
+        if self.se_reduced:
+            y = SqueezeExcite(self.se_reduced, self.act, name="se")(y)
         y = nn.Conv(self.out, (1, 1), use_bias=False, name="conv_pwl")(y)
         y = BatchNorm(epsilon=1e-3, name="bn3")(y)
         if self.stride == 1 and c == self.out:
@@ -93,33 +120,52 @@ class InvertedResidual(nn.Module):
         return y
 
 
-class EfficientNetLite0Features(nn.Module):
-    """[-1,1]-normalized-elsewhere NHWC input → 4 feature maps
-    (/4 24ch, /8 40ch, /16 112ch, /32 320ch)."""
+class EfficientNetFeatures(nn.Module):
+    """NHWC input → 4 feature maps (/4 24ch, /8 40ch, /16 112ch, /32 320ch).
+
+    `se` + `act='silu'` select the full B0 (timm `tf_efficientnet_b0`, SE
+    ratio 0.25 of block input, reference EFFNETS_IMAGENET); the lite0
+    default has no SE and ReLU6."""
+
+    se: bool = False
+    act: str = "relu6"
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
+        act = _ACTS[self.act]
         x = nn.Conv(32, (3, 3), strides=2, padding="SAME", use_bias=False,
                     name="conv_stem")(x)
         x = BatchNorm(epsilon=1e-3, name="bn1")(x)
-        x = _relu6(x)
+        x = act(x)
         outs = []
+        in_c = 32
         for level, (s0, s1) in enumerate(_LEVELS):
             for si in range(s0, s1):
                 blocks, k, stride, exp, out = _STAGES[si]
                 for bi in range(blocks):
                     cls = DepthwiseSeparable if exp == 1 else InvertedResidual
+                    se_red = max(1, int(in_c * 0.25)) if self.se else 0
                     kwargs = dict(out=out, kernel=k,
-                                  stride=stride if bi == 0 else 1)
+                                  stride=stride if bi == 0 else 1,
+                                  se_reduced=se_red, act=self.act)
                     if exp != 1:
                         kwargs["expand"] = exp
                     x = cls(name=f"blocks_{si}_{bi}", **kwargs)(x)
+                    in_c = out
             outs.append(x)
         return outs
 
 
-def convert_efficientnet_lite0(state: Mapping[str, np.ndarray]) -> dict:
-    """timm `tf_efficientnet_lite0` state dict → module variables."""
+def EfficientNetLite0Features(**kw):
+    return EfficientNetFeatures(se=False, act="relu6", **kw)
+
+
+def EfficientNetB0Features(**kw):
+    return EfficientNetFeatures(se=True, act="silu", **kw)
+
+
+def _convert_efficientnet_state(state: Mapping[str, np.ndarray],
+                                se: bool) -> dict:
     params: Dict = {}
     stats: Dict = {}
     put(params, "conv_stem/kernel", conv_w(state["conv_stem.weight"]))
@@ -144,4 +190,21 @@ def convert_efficientnet_lite0(state: Mapping[str, np.ndarray]) -> dict:
                 bn_from_torch(params, stats, f"{dst}/bn2", state, f"{src}.bn2")
                 put(params, f"{dst}/conv_pwl/kernel", conv_w(state[f"{src}.conv_pwl.weight"]))
                 bn_from_torch(params, stats, f"{dst}/bn3", state, f"{src}.bn3")
+            if se:
+                for tt, oo in (("conv_reduce", "conv_reduce"),
+                               ("conv_expand", "conv_expand")):
+                    put(params, f"{dst}/se/{oo}/kernel",
+                        conv_w(state[f"{src}.se.{tt}.weight"]))
+                    put(params, f"{dst}/se/{oo}/bias",
+                        state[f"{src}.se.{tt}.bias"])
     return {"params": params, "batch_stats": stats}
+
+
+def convert_efficientnet_lite0(state: Mapping[str, np.ndarray]) -> dict:
+    """timm `tf_efficientnet_lite0` state dict → module variables."""
+    return _convert_efficientnet_state(state, se=False)
+
+
+def convert_efficientnet_b0(state: Mapping[str, np.ndarray]) -> dict:
+    """timm `tf_efficientnet_b0` state dict → module variables."""
+    return _convert_efficientnet_state(state, se=True)

@@ -106,8 +106,10 @@ def convert_feature_network_state(
 def _register_defaults():
     from .alexnet import AlexNetFeatures, convert_alexnet_state
     from .clip import CLIPViTStages, convert_clip_state
-    from .deit import DeiTFeatures, convert_deit
-    from .efficientnet import (EfficientNetLite0Features,
+    from .deit import DeiTFeatures, DeiTSmallFeatures, convert_deit
+    from .efficientnet import (EfficientNetB0Features,
+                               EfficientNetLite0Features,
+                               convert_efficientnet_b0,
                                convert_efficientnet_lite0)
     from .resnet import (ResNet18Stages, ResNet34Stages, ResNet50Stages,
                          convert_resnet18_state, convert_resnet34_state,
@@ -122,6 +124,14 @@ def _register_defaults():
     register("tf_efficientnet_lite0", EfficientNetLite0Features,
              INCEPTION_MEAN, INCEPTION_STD, convert_efficientnet_lite0,
              (24, 40, 112, 320))
+    # Full B0 (SE + SiLU) — IMAGENET stats per the reference
+    # (constants.py EFFNETS_IMAGENET, projector.get_backbone_normstats).
+    register("tf_efficientnet_b0", EfficientNetB0Features,
+             IMAGENET_MEAN, IMAGENET_STD, convert_efficientnet_b0,
+             (24, 40, 112, 320))
+    register("deit_small_distilled_patch16_224", DeiTSmallFeatures,
+             IMAGENET_MEAN, IMAGENET_STD, convert_deit,
+             (48, 96, 192, 384))
     # Conv families.
     register("vgg16",
              lambda **kw: SlicedStages(VGG16Features, take=(1, 2, 3, 4), **kw),

@@ -131,8 +131,7 @@ def _fake_resnet34():
     return state
 
 
-def _fake_deit():
-    d = 768
+def _fake_deit(d=768):
     state = {
         "patch_embed.proj.weight": np.zeros((d, 3, 16, 16), np.float32),
         "patch_embed.proj.bias": np.zeros(d, np.float32),
@@ -157,7 +156,7 @@ def _fake_deit():
     return state
 
 
-def _fake_efficientnet():
+def _fake_efficientnet(se=False):
     from stylegan3_editing_tpu.models.backbones.efficientnet import _STAGES
     state = {"conv_stem.weight": np.zeros((32, 3, 3, 3), np.float32)}
     _bn(state, "bn1", 32)
@@ -165,6 +164,15 @@ def _fake_efficientnet():
     for si, (blocks, k, stride, exp, out) in enumerate(_STAGES):
         for bi in range(blocks):
             s = f"blocks.{si}.{bi}"
+            if se:
+                red = max(1, int(in_c * 0.25))
+                mid = in_c * exp
+                state[f"{s}.se.conv_reduce.weight"] = \
+                    np.zeros((red, mid, 1, 1), np.float32)
+                state[f"{s}.se.conv_reduce.bias"] = np.zeros(red, np.float32)
+                state[f"{s}.se.conv_expand.weight"] = \
+                    np.zeros((mid, red, 1, 1), np.float32)
+                state[f"{s}.se.conv_expand.bias"] = np.zeros(mid, np.float32)
             if exp == 1:
                 state[f"{s}.conv_dw.weight"] = \
                     np.zeros((in_c, 1, k, k), np.float32)
@@ -222,7 +230,9 @@ _FABRICATORS = {
     "resnet18": lambda: _fake_basic_resnet(
         ((2, 64), (2, 128), (2, 256), (2, 512))),
     "deit_base_distilled_patch16_224": _fake_deit,
+    "deit_small_distilled_patch16_224": lambda: _fake_deit(d=384),
     "tf_efficientnet_lite0": _fake_efficientnet,
+    "tf_efficientnet_b0": lambda: _fake_efficientnet(se=True),
     "clip_vit_b32": _fake_clip,
 }
 
