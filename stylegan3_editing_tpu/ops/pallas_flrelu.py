@@ -740,9 +740,17 @@ def _bwd_decode_step(k, dims):
     return _decode_step(k, dims)
 
 
+def _flrelu_bwd_kernel_mxu(g_ref, x_ref, mw_ref, mh_ref, o_ref, gt, xt, sem,
+                           **kw):
+    _flrelu_bwd_kernel(g_ref, x_ref, o_ref, gt, xt, sem, mw_ref=mw_ref,
+                       mh_ref=mh_ref, **kw)
+
+
 def _flrelu_bwd_kernel(g_ref, x_ref, o_ref, gt, xt, sem, *, plan_g_h,
                        plan_g_w, plan_m_h, plan_m_w, up_terms, down_taps,
-                       point_gain, slope, gain_f, clamp, u_fwd, dims):
+                       point_gain, slope, gain_f, clamp, u_fwd, dims,
+                       mw_ref=None, mh_ref=None, mxu_prec=None,
+                       mxu_cast=None):
     """One dx tile per grid step: recompute the forward up-grid A from x,
     up-sample dy on the same grid, multiply by act'(A), down-FIR.
 
@@ -842,10 +850,16 @@ def _flrelu_bwd_kernel(g_ref, x_ref, o_ref, gt, xt, sem, *, plan_g_h,
     # Stride-2 down-FIR (rank-1 taps: fu is always 1-D separable).
     th = plan_g_h.tile
     tw = plan_g_w.tile
-    dw = [_down_pass(du[p_h], down_taps, u_b, axis=1, count=tw)
-          for p_h in range(u_b)]
-    cols = _down_pass([dw[p_h][0] for p_h in range(u_b)], down_taps, u_b,
-                      axis=0, count=th)
+    if mw_ref is not None:
+        tw_stage = [_down_dot(du[p_h], lambda a, p: mw_ref[p], u_b, 1,
+                              mxu_prec, mxu_cast)[0] for p_h in range(u_b)]
+        cols = _down_dot(tw_stage, lambda a, p: mh_ref[p], u_b, 1,
+                         mxu_prec, mxu_cast)
+    else:
+        dw = [_down_pass(du[p_h], down_taps, u_b, axis=1, count=tw)
+              for p_h in range(u_b)]
+        cols = _down_pass([dw[p_h][0] for p_h in range(u_b)], down_taps, u_b,
+                          axis=0, count=th)
     o_ref[0] = cols[0].astype(o_ref.dtype)
 
 
@@ -993,12 +1007,35 @@ def fused_filtered_lrelu_bwd(
                      (0, c_pad - c)))
 
     dims = (n, plan_g_h.n_tiles, plan_g_w.n_tiles, c_pad // c_block)
+
+    import os as _os3
+    down_mode = _os3.environ.get("SG3TPU_FLRELU_DOWN", "vpu")
+    mxu_kw = {}
+    extra_operands = []
+    extra_specs = []
+    if down_mode in ("mxu", "mxu_bf16"):
+        bw_terms = [(down_taps, down_taps)]
+        mw_np = _down_matrices(bw_terms, 2, 1, tw, plan_g_w.q_count, which=1)
+        mh_np = _down_matrices(bw_terms, 2, 1, tm, plan_g_h.q_count, which=0)
+        mxu_kw = dict(
+            mxu_prec=(lax.Precision.HIGHEST if dtype == jnp.float32
+                      else lax.Precision.DEFAULT),
+            mxu_cast=jnp.bfloat16 if down_mode == "mxu_bf16" else None)
+        extra_operands = [jnp.asarray(mw_np), jnp.asarray(mh_np)]
+        extra_specs = [
+            pl.BlockSpec(mw_np.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mh_np.shape, lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     kernel = functools.partial(
-        _flrelu_bwd_kernel, plan_g_h=plan_g_h, plan_g_w=plan_g_w,
+        _flrelu_bwd_kernel_mxu if extra_operands else _flrelu_bwd_kernel,
+        plan_g_h=plan_g_h, plan_g_w=plan_g_w,
         plan_m_h=plan_m_h, plan_m_w=plan_m_w, up_terms=up_terms,
         down_taps=down_taps, point_gain=float(point_gain),
         slope=float(slope), gain_f=float(gain),
-        clamp=None if clamp is None else float(clamp), u_fwd=up, dims=dims)
+        clamp=None if clamp is None else float(clamp), u_fwd=up, dims=dims,
+        **mxu_kw)
 
     total = int(np.prod(dims))
     if interpret is None:
@@ -1009,7 +1046,7 @@ def fused_filtered_lrelu_bwd(
             (n, plan_g_h.out_pad, plan_g_w.out_pad, c_pad), dtype),
         grid=(total,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)] + extra_specs,
         out_specs=pl.BlockSpec((1, tm, tw, c_block),
                                lambda k: _decode_step(k, dims),
                                memory_space=pltpu.VMEM),
@@ -1023,7 +1060,7 @@ def fused_filtered_lrelu_bwd(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
-    )(gp, xp)
+    )(gp, xp, *extra_operands)
     out2 = out2[:, :lo_h2, :lo_w2, :c]
     if up == 4:
         out2 = out2[:, ::2, ::2]

@@ -350,6 +350,41 @@ def test_fused_filtered_lrelu_mxu_down_pass():
                                    atol=2e-6, rtol=2e-6,
                                    err_msg=f"u={u} radial={radial}")
 
+    # Backward kernel: same engine swap must be exact for dx too.
+    from stylegan3_editing_tpu.ops.pallas_flrelu import (
+        fused_filtered_lrelu_bwd)
+
+    for u, hi, wi, c, radial, pad in cases[:3]:
+        x = jnp.asarray(rng.randn(2, hi, wi, c).astype(np.float32))
+        b = jnp.asarray(rng.randn(c).astype(np.float32))
+        fu = np.hanning(8 + u)[1:-1]
+        fu /= fu.sum()
+        if radial:
+            w1 = np.hanning(10)[1:-1]
+            fd = np.outer(w1, w1) / np.outer(w1, w1).sum() \
+                + 0.03 * np.outer(w1[::-1], w1)
+        else:
+            fd = np.hanning(10)[1:-1]
+            fd /= fd.sum()
+        prev = os.environ.get("SG3TPU_FLRELU_DOWN")
+        try:
+            os.environ["SG3TPU_FLRELU_DOWN"] = "vpu"
+            y = fused_filtered_lrelu(x, fu, fd, b, u, 2, pad, math.sqrt(2),
+                                     0.2, 256.0)
+            dy = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+            args = (dy, x, fu, fd, b, u, 2, pad, math.sqrt(2), 0.2, 256.0)
+            want = fused_filtered_lrelu_bwd(*args)
+            os.environ["SG3TPU_FLRELU_DOWN"] = "mxu"
+            got = fused_filtered_lrelu_bwd(*args)
+        finally:
+            if prev is None:
+                os.environ.pop("SG3TPU_FLRELU_DOWN", None)
+            else:
+                os.environ["SG3TPU_FLRELU_DOWN"] = prev
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6,
+                                   err_msg=f"bwd u={u} radial={radial}")
+
 
 def test_fused_filtered_lrelu_unsupported_configs():
     from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
