@@ -27,10 +27,33 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _tpu_available(timeout_s: float = 180.0) -> bool:
+    """Probe TPU backend init in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can wedge (a killed client's server-side compile blocks
+    every subsequent backend init — see the verify skill's gotchas); probing
+    in-process would hang this bench forever. On probe failure the bench
+    falls back to the clearly-labeled CPU smoke mode instead of hanging."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; sys.exit(0 if any(d.platform == 'tpu' "
+             "for d in jax.devices()) else 1)"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     from stylegan3_editing_tpu.models.sg3 import Generator, sg3_r_config
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = _tpu_available()
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")  # env var alone is ignored
     if on_tpu:
         res, batch, iters = 1024, int(os.environ.get("SG3TPU_BENCH_BATCH", "8")), 10
         cfg = sg3_r_config(res)
