@@ -98,19 +98,26 @@ class _SpatialPlan:
 
 
 def _exchange_halo(x_local: jax.Array, halo_top: int, halo_bot: int,
-                   axis_name: str, shards: int) -> jax.Array:
-    """[N, Hl, W, C] → [N, halo_top + Hl + halo_bot, W, C]; edge halos are
-    zeros (ppermute pairs omit the wrap-around, unmatched receivers get 0)."""
+                   axis_name: str, shards: int, dim: int = 1) -> jax.Array:
+    """Extend `dim` with neighbor halos: [..., L, ...] → [..., halo_top + L
+    + halo_bot, ...]; edge halos are zeros (ppermute pairs omit the
+    wrap-around, unmatched receivers get 0)."""
+    def take(sl):
+        idx = [slice(None)] * x_local.ndim
+        idx[dim] = sl
+        return x_local[tuple(idx)]
+
     parts = []
     if halo_top > 0:
         down_perm = [(i, i + 1) for i in range(shards - 1)]
-        parts.append(lax.ppermute(x_local[:, -halo_top:], axis_name,
+        parts.append(lax.ppermute(take(slice(-halo_top, None)), axis_name,
                                   down_perm))
     parts.append(x_local)
     if halo_bot > 0:
         up_perm = [(i + 1, i) for i in range(shards - 1)]
-        parts.append(lax.ppermute(x_local[:, :halo_bot], axis_name, up_perm))
-    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else x_local
+        parts.append(lax.ppermute(take(slice(None, halo_bot)), axis_name,
+                                  up_perm))
+    return jnp.concatenate(parts, axis=dim) if len(parts) > 1 else x_local
 
 
 def spatial_filtered_lrelu(
@@ -128,13 +135,19 @@ def spatial_filtered_lrelu(
     axis_name: str,
     shards: int,
     H_global: int,
+    axis_name_w: Optional[str] = None,
+    shards_w: int = 1,
+    W_global: Optional[int] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """filtered_lrelu over an H-sharded activation (inside shard_map).
 
     ``x_local`` is this shard's ``[N, H/shards, W, C]`` row block; returns
     the shard's ``[N, out_H/shards, W, C]`` output rows, exact vs the
-    unsharded op.
+    unsharded op. With ``axis_name_w`` the activation is additionally
+    W-sharded (2-D 'space_h' × 'space_w' grid): halos exchange along H
+    first, then along W — the W-neighbor's H-extension covers the same
+    global rows (same H-shard index), so the corner halo rides along.
     """
     px0, px1, py0, py1 = padding
     fu_w, fu_h = _filter_size(None if fu is None else jnp.asarray(fu))
@@ -146,23 +159,36 @@ def spatial_filtered_lrelu(
                               clamp=clamp, impl=impl)
 
     plan = _SpatialPlan(H_global, up, down, py0, py1, fu_h, fd_h, shards)
+    plan_w = None
+    if axis_name_w is not None and shards_w > 1:
+        plan_w = _SpatialPlan(W_global, up, down, px0, px1, fu_w, fd_w,
+                              shards_w)
 
     # Bias lands on REAL rows only (global op pads after bias): pre-add it,
     # then exchange already-biased halos; edge zero-halos = global zero-pad.
     if b is not None:
         x_local = x_local + b.reshape(1, 1, 1, -1).astype(x_local.dtype)
     xs = _exchange_halo(x_local, plan.halo_top, plan.halo_bot, axis_name,
-                        shards)
+                        shards, dim=1)
+    pad_w = (px0, px1)
+    if plan_w is not None:
+        xs = _exchange_halo(xs, plan_w.halo_top, plan_w.halo_bot,
+                            axis_name_w, shards_w, dim=2)
+        pad_w = (plan_w.p_top, plan_w.p_bot)
 
     y_full = filtered_lrelu(
         xs, fu=fu, fd=fd, b=None, up=up, down=down,
-        padding=(px0, px1, plan.p_top, plan.p_bot),
+        padding=(pad_w[0], pad_w[1], plan.p_top, plan.p_bot),
         gain=gain, slope=slope, clamp=clamp, impl=impl)
 
     s_idx = lax.axis_index(axis_name)
     offs = jnp.asarray(plan.offs, jnp.int32)
-    off = offs[s_idx]
-    return lax.dynamic_slice_in_dim(y_full, off, plan.Ol, axis=1)
+    out = lax.dynamic_slice_in_dim(y_full, offs[s_idx], plan.Ol, axis=1)
+    if plan_w is not None:
+        w_idx = lax.axis_index(axis_name_w)
+        offs_w = jnp.asarray(plan_w.offs, jnp.int32)
+        out = lax.dynamic_slice_in_dim(out, offs_w[w_idx], plan_w.Ol, axis=2)
+    return out
 
 
 def spatial_synthesis(
@@ -171,18 +197,21 @@ def spatial_synthesis(
     ws: jax.Array,
     mesh: Mesh,
     axis: str = "space",
+    axis_w: Optional[str] = None,
     transform: Optional[jax.Array] = None,
     force_fp32: bool = False,
     impl: str = "auto",
 ) -> jax.Array:
-    """Full SG3 synthesis with every activation H-sharded over `axis`.
+    """Full SG3 synthesis with every activation H-sharded over `axis`
+    (and W-sharded over `axis_w` when given — a 2-D spatial grid).
 
     ``variables`` is the Generator's variable tree (the 'synthesis' subtree
     is used). ws: [N, num_ws, w_dim] replicated. Returns the stitched
-    [N, res, res, C] image (sharded along H on the mesh).
+    [N, res, res, C] image (sharded along H[/W] on the mesh).
     """
     layout = build_synthesis_layout(cfg)
     shards = mesh.shape[axis]
+    shards_w = mesh.shape[axis_w] if axis_w is not None else 1
     for spec in layout.layers:
         assert spec.conv_kernel == 1, (
             "spatial sharding supports conv_kernel=1 (SG3-R) only")
@@ -215,9 +244,15 @@ def spatial_synthesis(
         x = input_mod.apply(input_vars, ws_rep[:, 0],
                             transform=transform_arg)
         h0 = layout.input.size[1]
+        w0 = layout.input.size[0]
         assert h0 % shards == 0, (h0, shards)
         hl = h0 // shards
         x = lax.dynamic_slice_in_dim(x, s_idx * hl, hl, axis=1)
+        if shards_w > 1:
+            assert w0 % shards_w == 0, (w0, shards_w)
+            wl = w0 // shards_w
+            w_idx = lax.axis_index(axis_w)
+            x = lax.dynamic_slice_in_dim(x, w_idx * wl, wl, axis=2)
 
         for i, (spec, mod, lvars) in enumerate(
                 zip(layout.layers, layer_mods, layer_vars)):
@@ -232,15 +267,19 @@ def spatial_synthesis(
                 slope=1.0 if spec.is_torgb else 0.2,
                 clamp=spec.conv_clamp,
                 axis_name=axis, shards=shards,
-                H_global=spec.in_size[1], impl=impl)
+                H_global=spec.in_size[1],
+                axis_name_w=axis_w if shards_w > 1 else None,
+                shards_w=shards_w, W_global=spec.in_size[0], impl=impl)
         if cfg.output_scale != 1:
             x = x * jnp.asarray(cfg.output_scale, x.dtype)
         return x.astype(jnp.float32)
 
+    out_spec = (P(None, axis) if shards_w <= 1
+                else P(None, axis, axis_w))
     fn_sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=P(None, axis),
+        out_specs=out_spec,
         check_vma=False)
     t_arg = (jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                               (ws.shape[0], 3, 3))

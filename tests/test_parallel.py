@@ -119,6 +119,27 @@ def test_spatial_synthesis_matches_unsharded(shards):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spatial_synthesis_2d_grid_matches_unsharded():
+    """2-D H×W spatial sharding ('space_h' × 'space_w' grid, halo exchange
+    along both axes incl. the corner-through-H path) is EXACT vs the
+    unsharded forward."""
+    from stylegan3_editing_tpu.parallel.spatial import spatial_synthesis
+
+    cfg = spatial_tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(3), z[:1])
+    ws = model.apply(variables, z, method=model.map)
+    want = model.apply(variables, ws, method=model.synthesize)
+
+    mesh = create_mesh(shape=(2, 2, 2),
+                       axis_names=("data", "space_h", "space_w"))
+    got = spatial_synthesis(cfg, variables, ws, mesh, axis="space_h",
+                            axis_w="space_w")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_spatial_filtered_lrelu_exact_radial():
     """Single-op exactness incl. a radial (2-D SVD-separable) down filter
     and ×4 up — the L10-style geometry."""
