@@ -300,7 +300,7 @@ class ShardedExpander:
     activations never materialize unsharded."""
 
     def __init__(self, cfg: SG3Config, variables: dict, mesh: Mesh,
-                 axis: str = "space"):
+                 axis: str = "space", axis_w: Optional[str] = None):
         from ..utils.fov_expansion import Expander
 
         self._inner = Expander.__new__(Expander)
@@ -309,7 +309,7 @@ class ShardedExpander:
         self._inner.res = cfg.img_resolution
         self._inner._synth = (
             lambda v, ws, t: spatial_synthesis(cfg, v, ws, mesh, axis=axis,
-                                               transform=t))
+                                               axis_w=axis_w, transform=t))
 
     def generate_expanded_image(self, ws, landmark_t=None, **pixels):
         if landmark_t is None:
@@ -321,8 +321,10 @@ def spatial_expanded_synthesis(cfg, variables, ws, mesh,
                                pixels_left=0, pixels_right=0,
                                pixels_top=0, pixels_bottom=0,
                                axis: str = "space",
+                               axis_w: Optional[str] = None,
                                landmark_t=None) -> jax.Array:
     """One-call helper: >res² FOV canvas, spatially sharded."""
-    return ShardedExpander(cfg, variables, mesh, axis).generate_expanded_image(
+    return ShardedExpander(
+        cfg, variables, mesh, axis, axis_w=axis_w).generate_expanded_image(
         ws, landmark_t, pixels_left=pixels_left, pixels_right=pixels_right,
         pixels_top=pixels_top, pixels_bottom=pixels_bottom)

@@ -140,6 +140,35 @@ def test_spatial_synthesis_2d_grid_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spatial_synthesis_gradients_match_unsharded():
+    """Spatial sharding is DIFFERENTIABLE: ppermute halo exchange and the
+    dynamic output slices have exact transposes, so grads of an H-sharded
+    synthesis match the unsharded grads — the prerequisite for >1024²
+    PTI/coach tuning under spatial sharding."""
+    from stylegan3_editing_tpu.parallel.spatial import spatial_synthesis
+
+    cfg = spatial_tiny_cfg()
+    model = Generator(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.z_dim))
+    variables = model.init(jax.random.PRNGKey(5), z)
+    ws = model.apply(variables, z, method=model.map)
+    mesh = create_mesh(shape=(4, 1, 2),
+                       axis_names=("data", "model", "space"))
+
+    def loss_unsharded(w):
+        img = model.apply(variables, w, method=model.synthesize)
+        return jnp.mean(jnp.square(img))
+
+    def loss_sharded(w):
+        img = spatial_synthesis(cfg, variables, w, mesh, axis="space")
+        return jnp.mean(jnp.square(img))
+
+    g_want = jax.grad(loss_unsharded)(ws)
+    g_got = jax.grad(loss_sharded)(ws)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_spatial_filtered_lrelu_exact_radial():
     """Single-op exactness incl. a radial (2-D SVD-separable) down filter
     and ×4 up — the L10-style geometry."""
