@@ -313,6 +313,46 @@ def _down_matrices(terms, u: int, classes: int, count: int, q_count: int,
     return mats
 
 
+def _up_matrices(plan: "_AxisPlan", in_len: int) -> np.ndarray:
+    """Banded matrices for the MXU up-pass (SG3TPU_FLRELU_UP=mxu): one
+    [q_count, in_len] matrix per phase plane — plane_p[q] = Σ_j
+    taps_p[j]·x[win_off_p + j + q], so M_p[q, i] = taps_p[j] at
+    i = win_off_p + j + q. Contracting x's axis with dot_general moves the
+    up-sampled axis to the FRONT: W-up [Qw, ih, C] then H-up [Qh, Qw, C] —
+    exactly the plane layout the act/down stages expect."""
+    mats = np.zeros((plan.u, plan.q_count, in_len), np.float32)
+    for p in range(plan.u):
+        taps = plan.phase_taps[p]
+        off = plan.win_off[p]
+        for j, tap in enumerate(taps):
+            v = float(tap)
+            if v == 0.0:
+                continue
+            for q in range(plan.q_count):
+                i = off + j + q
+                if i < in_len:
+                    mats[p, q, i] += v
+    return mats
+
+
+def _up_dot(x, m_ref, u: int, phases, prec, cast_dtype):
+    """MXU up-pass: per phase, one dot contracting x's axis 1."""
+    planes = []
+    for p in range(u):
+        if phases is not None and p not in phases:
+            planes.append(None)
+            continue
+        m = m_ref[p]
+        xx = x
+        if cast_dtype is not None:
+            m = m.astype(cast_dtype)
+            xx = xx.astype(cast_dtype)
+        planes.append(lax.dot_general(m, xx, (((1,), (1,)), ((), ())),
+                                      precision=prec,
+                                      preferred_element_type=jnp.float32))
+    return planes
+
+
 def _down_dot(planes, mat_of, u: int, classes: int, prec, cast_dtype):
     """MXU down stage: per parity class, Σ_p M[a,p] · planes[p].
 
@@ -362,17 +402,22 @@ def _decode_step(k, dims):
     return n, hb, wb, cb
 
 
-def _flrelu_kernel_mxu(x_ref, b_ref, mw_ref, mh_ref, o_ref, xt, sem, **kw):
-    """Operand-order shim: the MXU-down variant takes the banded down
-    matrices as two extra VMEM inputs."""
-    _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, mw_ref=mw_ref,
-                   mh_ref=mh_ref, **kw)
+def _flrelu_kernel_extra(x_ref, b_ref, *rest, extra_names, **kw):
+    """Operand-order shim: MXU up/down variants take their banded matrices
+    as extra VMEM inputs, keyed by `extra_names` order."""
+    n = len(extra_names)
+    refs = dict(zip(extra_names, rest[:n]))
+    o_ref, xt, sem = rest[n], rest[n + 1], rest[n + 2]
+    _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem,
+                   mw_ref=refs.get("mw"), mh_ref=refs.get("mh"),
+                   uw_ref=refs.get("uw"), uh_ref=refs.get("uh"), **kw)
 
 
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
                    terms, slope, gain, clamp, u, dims,
                    compute_dtype=jnp.float32, w_phases=None,
-                   mw_ref=None, mh_ref=None, mxu_prec=None, mxu_cast=None):
+                   mw_ref=None, mh_ref=None, uw_ref=None, uh_ref=None,
+                   mxu_prec=None, mxu_cast=None):
     """One output tile per 1-D grid step, with double-buffered input DMA:
     step k waits on the tile prefetched at step k-1 and starts step k+1's
     transfer before computing (guide pattern 'Double Buffering')."""
@@ -422,15 +467,28 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
     # two partial outputs (W-phases never mix before the down stage, and
     # the act is per-plane, so the split is exact).
     active_w = tuple(range(u)) if w_phases is None else tuple(w_phases)
-    w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count,
-                        phases=active_w)
     # a_planes[p_h][p_w], each [Qh, Qw, TC], activated.
     a_planes = [[None] * u for _ in range(u)]
-    for p_w in active_w:
-        h_of_w = _up_pass(w_planes[p_w], plan_h, axis=0,
-                          count=plan_h.q_count)
-        for p_h in range(u):
-            a_planes[p_h][p_w] = _act_lrelu(h_of_w[p_h], slope, gain, clamp)
+    if uw_ref is not None:
+        # MXU up: W-dot moves Qw to the front ([Qw, ih, C]), the H-dot then
+        # contracts ih (axis 1 again) → [Qh, Qw, C] — the same plane layout
+        # the VPU path produces, so either down engine composes.
+        w_planes = _up_dot(x, uw_ref, u, active_w, mxu_prec, mxu_cast)
+        for p_w in active_w:
+            h_of_w = _up_dot(w_planes[p_w], uh_ref, u, None, mxu_prec,
+                             mxu_cast)
+            for p_h in range(u):
+                a_planes[p_h][p_w] = _act_lrelu(h_of_w[p_h], slope, gain,
+                                                clamp)
+    else:
+        w_planes = _up_pass(x, plan_w, axis=1, count=plan_w.q_count,
+                            phases=active_w)
+        for p_w in active_w:
+            h_of_w = _up_pass(w_planes[p_w], plan_h, axis=0,
+                              count=plan_h.q_count)
+            for p_h in range(u):
+                a_planes[p_h][p_w] = _act_lrelu(h_of_w[p_h], slope, gain,
+                                                clamp)
 
     classes_h = max(u // 2, 1)
     classes_w = max(u // 2, 1)
@@ -677,32 +735,42 @@ def fused_filtered_lrelu(
     # f32 operands at HIGHEST precision for fp32 layers / DEFAULT for bf16
     # layers; 'mxu_bf16' casts planes+matrices to bf16 (native MXU pass).
     down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "vpu")
+    up_mode = _os2.environ.get("SG3TPU_FLRELU_UP", "vpu")
     classes = max(up // 2, 1)
     mxu_kw = {}
-    extra_operands = []
-    extra_specs = []
+    extra = []  # (name, np matrix) in kernel-operand order
     if down_mode in ("mxu", "mxu_bf16"):
-        mw_np = _down_matrices(terms, up, classes, tw // classes,
-                               plan_w.q_count, which=1)
-        mh_np = _down_matrices(terms, up, classes, tm // classes,
-                               plan_h.q_count, which=0)
+        extra.append(("mw", _down_matrices(terms, up, classes, tw // classes,
+                                           plan_w.q_count, which=1)))
+        extra.append(("mh", _down_matrices(terms, up, classes, tm // classes,
+                                           plan_h.q_count, which=0)))
+    if up_mode in ("mxu", "mxu_bf16"):
+        extra.append(("uw", _up_matrices(plan_w, plan_w.in_tile)))
+        extra.append(("uh", _up_matrices(plan_h, plan_h.in_tile)))
+    if extra:
+        bf16_req = "mxu_bf16" in (down_mode, up_mode)
         mxu_kw = dict(
             mxu_prec=(lax.Precision.HIGHEST if dtype == jnp.float32
                       else lax.Precision.DEFAULT),
-            mxu_cast=jnp.bfloat16 if down_mode == "mxu_bf16" else None)
-        extra_operands = [jnp.asarray(mw_np), jnp.asarray(mh_np)]
-        extra_specs = [
-            pl.BlockSpec(mw_np.shape, lambda k: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(mh_np.shape, lambda k: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-    kernel = functools.partial(
-        _flrelu_kernel_mxu if extra_operands else _flrelu_kernel,
-        plan_h=plan_h, plan_w=plan_w, terms=terms,
-        slope=float(slope), gain=k_gain,
-        clamp=None if k_clamp is None else float(k_clamp), u=up, dims=dims,
-        compute_dtype=compute_dtype, w_phases=w_phases, **mxu_kw)
+            mxu_cast=jnp.bfloat16 if bf16_req else None)
+    extra_operands = [jnp.asarray(m) for _, m in extra]
+    extra_specs = [
+        pl.BlockSpec(m.shape, lambda k: (0, 0, 0), memory_space=pltpu.VMEM)
+        for _, m in extra]
+    if extra:
+        kernel = functools.partial(
+            _flrelu_kernel_extra, extra_names=tuple(n for n, _ in extra),
+            plan_h=plan_h, plan_w=plan_w, terms=terms,
+            slope=float(slope), gain=k_gain,
+            clamp=None if k_clamp is None else float(k_clamp), u=up,
+            dims=dims, compute_dtype=compute_dtype, w_phases=w_phases,
+            **mxu_kw)
+    else:
+        kernel = functools.partial(
+            _flrelu_kernel, plan_h=plan_h, plan_w=plan_w, terms=terms,
+            slope=float(slope), gain=k_gain,
+            clamp=None if k_clamp is None else float(k_clamp), u=up,
+            dims=dims, compute_dtype=compute_dtype, w_phases=w_phases)
 
     # 1-D grid so the kernel can prefetch step k+1's input tile while
     # computing step k (manual double buffering; Mosaic already pipelines

@@ -335,20 +335,28 @@ def test_fused_filtered_lrelu_mxu_down_pass():
             fd /= fd.sum()
         args = (x, fu, fd, b, u, 2, pad, math.sqrt(2), 0.2, 256.0)
         prev = os.environ.get("SG3TPU_FLRELU_DOWN")
+        prev_up = os.environ.get("SG3TPU_FLRELU_UP")
         try:
             os.environ["SG3TPU_FLRELU_DOWN"] = "vpu"
             want = fused_filtered_lrelu(*args)
             os.environ["SG3TPU_FLRELU_DOWN"] = "mxu"
             got = fused_filtered_lrelu(*args)
+            os.environ["SG3TPU_FLRELU_UP"] = "mxu"  # both engines on MXU
+            got_up = fused_filtered_lrelu(*args)
         finally:
-            if prev is None:
-                os.environ.pop("SG3TPU_FLRELU_DOWN", None)
-            else:
-                os.environ["SG3TPU_FLRELU_DOWN"] = prev
+            for key, val in (("SG3TPU_FLRELU_DOWN", prev),
+                             ("SG3TPU_FLRELU_UP", prev_up)):
+                if val is None:
+                    os.environ.pop(key, None)
+                else:
+                    os.environ[key] = val
         assert got is not None and want is not None
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-6, rtol=2e-6,
                                    err_msg=f"u={u} radial={radial}")
+        np.testing.assert_allclose(np.asarray(got_up), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6,
+                                   err_msg=f"up-mxu u={u} radial={radial}")
 
     # Backward kernel: same engine swap must be exact for dx too.
     from stylegan3_editing_tpu.ops.pallas_flrelu import (
