@@ -35,7 +35,10 @@ for mode in mxu mxu_bf16; do
   SG3TPU_FLRELU_DOWN=$mode timeout 7200 python scripts/microbench_flrelu.py \
     --impl fused || true
 done
+SG3TPU_FLRELU_DOWN=mxu SG3TPU_FLRELU_UP=mxu timeout 7200 \
+  python scripts/microbench_flrelu.py --impl fused || true
 
-echo "=== stage 6: end-to-end with MXU down ==="
+echo "=== stage 6: end-to-end with MXU engines ==="
 SG3TPU_FLRELU_DOWN=mxu timeout 5400 python bench.py || true
+SG3TPU_FLRELU_DOWN=mxu SG3TPU_FLRELU_UP=mxu timeout 5400 python bench.py || true
 echo "done $(date)"
