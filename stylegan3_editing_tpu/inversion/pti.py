@@ -54,7 +54,9 @@ class PTI:
 
     def __init__(self, cfg: SG3Config, variables: dict,
                  lpips_variables: Optional[dict] = None,
-                 opts: Optional[PTIOptions] = None):
+                 opts: Optional[PTIOptions] = None,
+                 mesh=None, spatial_axis: str = "space",
+                 spatial_axis_w: Optional[str] = None):
         self.cfg = cfg
         self.opts = opts or PTIOptions()
         self.model = Generator(cfg)
@@ -65,6 +67,14 @@ class PTI:
             lpips_variables = self.lpips.init(jax.random.PRNGKey(0), x0, x0)
         self.lpips_variables = lpips_variables
         self.tx = optax.adam(self.opts.learning_rate)
+        # Spatial sharding (parallel/spatial.py): with a mesh, the SHARED
+        # (video) tuning mode runs its forward+backward H[/W]-sharded —
+        # canvases past one chip's HBM become tunable (halo-exchange grads
+        # are exact, tests/test_parallel.py::
+        # test_spatial_synthesis_gradients_match_unsharded).
+        self.mesh = mesh
+        self.spatial_axis = spatial_axis
+        self.spatial_axis_w = spatial_axis_w
 
     # ------------------------------------------------------------ internals
 
@@ -78,6 +88,13 @@ class PTI:
         # (~30 GB: seven ~2.9 GB up-grid temps in L10's backward alone).
         # Full fp32 stays the default below the flagship resolution.
         force_fp32 = self.cfg.img_resolution < 1024
+        if self.mesh is not None:
+            from ..parallel.spatial import spatial_synthesis
+
+            return spatial_synthesis(
+                self.cfg, variables, codes, self.mesh,
+                axis=self.spatial_axis, axis_w=self.spatial_axis_w,
+                transform=transform, force_fp32=force_fp32)
         return self.model.apply(variables, codes, transform=transform,
                                 force_fp32=force_fp32,
                                 method=self.model.synthesize)
@@ -101,6 +118,9 @@ class PTI:
         """
         opts = self.opts
         steps = steps or opts.steps
+        assert self.mesh is None, (
+            "spatial PTI runs in the shared-weights mode (optimize_shared); "
+            "the per-image vmapped mode doesn't compose with shard_map")
         n = codes.shape[0]
         base = self.variables["params"]["synthesis"]
         trainable, frozen = _split_trainable(base)
