@@ -134,9 +134,51 @@ def bench_coach(iters: int) -> float:
     return per_step
 
 
+def bench_setgan(iters: int) -> float:
+    """Full SetGAN G+D train step at the reference's canonical stem recipe.
+
+    Reference scripts/train_setgan_stem.sh:35-66 trains the stylegan3-t stem
+    at low res with cbase 16384 / cmax 256, batch 4/GPU, reference sets 4-7,
+    candidates 1-4, DeiT-base-distilled + EfficientNet-lite0 projected D.
+    This benches the per-chip shard of that recipe (batch 4 candidate sets,
+    ref 7, cand 4, 256² decode) and reports post-compile sec/step and
+    sec/kimg (the reference's tick metric, setgan/training_loop.py:499-513).
+    """
+    from stylegan3_editing_tpu.models.sg3 import sg3_t_config
+    from stylegan3_editing_tpu.setgan.training_loop import (
+        SetGANTrainConfig, SetGANTrainer)
+
+    batch, n_ref, n_cand = 4, 7, 4
+    dec = sg3_t_config(256, channel_base=16384, channel_max=256)
+    cfg = SetGANTrainConfig(batch_size=batch)
+    trainer = SetGANTrainer(cfg, dec)
+    rng = np.random.default_rng(0)
+    def make_batch():
+        return {
+            "reference": rng.standard_normal(
+                (batch, n_ref, 256, 256, 3)).astype(np.float32) * 0.1,
+            "candidate": rng.standard_normal(
+                (batch, n_cand, 256, 256, 3)).astype(np.float32) * 0.1,
+        }
+    t0 = time.perf_counter()
+    trainer.train_step(make_batch())
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        trainer.train_step(make_batch())
+    per_step = (time.perf_counter() - t0) / iters
+    imgs = batch * n_cand
+    print(f"SetGAN stem 256^2 (b{batch} r{n_ref} c{n_cand}, DeiT+EffNet D): "
+          f"{per_step:.2f} s/step post-compile = "
+          f"{per_step / imgs * 1000:.1f} s/kimg "
+          f"(compile+first {compile_s:.0f} s, {iters} steps)")
+    return per_step
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="both", choices=("pti", "coach", "both"))
+    ap.add_argument("--what", default="both",
+                    choices=("pti", "coach", "both", "setgan"))
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backward", default="fused",
                     choices=("fused", "composed"))
@@ -147,6 +189,8 @@ def main():
         bench_pti(args.iters)
     if args.what in ("coach", "both"):
         bench_coach(args.iters)
+    if args.what == "setgan":
+        bench_setgan(args.iters)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,12 @@ echo "=== stage 2: steady-state train steps (fused backward) ==="
 timeout 5400 python scripts/bench_train_steps.py --what pti --backward fused || true
 timeout 5400 python scripts/bench_train_steps.py --what coach --backward fused || true
 
+echo "=== stage 2b: SetGAN stem steady-state step (sec/kimg) ==="
+timeout 7200 python scripts/bench_train_steps.py --what setgan || true
+
+echo "=== stage 2c: video inversion+edit end-to-end (frames/sec) ==="
+timeout 7200 python scripts/bench_video.py || true
+
 echo "=== stage 3: per-layer VPU baseline refresh (hot layers) ==="
 timeout 5400 python scripts/microbench_flrelu.py --impl fused --layers L10,L11,L13 || true
 
