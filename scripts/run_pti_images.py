@@ -47,6 +47,9 @@ class RunPTIOptions:
     lpips_threshold: float = 0.06
     batch_size: int = 4
     save_models: bool = True
+    # Video PTI (reference inversion/video/run_pti_video.py:96-171): ONE
+    # generator tuned over ALL inputs (frames) instead of per-image copies.
+    shared_weights: bool = False
     # decoder capacity overrides (smoke tests / small domains)
     decoder_channel_base: Optional[int] = None
     decoder_channel_max: Optional[int] = None
@@ -95,8 +98,8 @@ def main(opts: RunPTIOptions):
         lpips_threshold=opts.lpips_threshold))
 
     name_to_idx = {p.name: i for i, p in enumerate(dataset.source_paths)}
-    for start in range(0, len(names), opts.batch_size):
-        batch_names = names[start:start + opts.batch_size]
+
+    def load_rows(batch_names):
         codes = jnp.asarray(np.stack(
             [np.asarray(latents[n])[-1] for n in batch_names]))
         targets = jnp.asarray(np.stack(
@@ -106,6 +109,39 @@ def main(opts: RunPTIOptions):
             tfm = jnp.asarray(np.stack(
                 [np.asarray(transforms[n][-1] if isinstance(transforms[n],
                  (tuple, list)) else transforms[n]) for n in batch_names]))
+        return codes, targets, tfm
+
+    if opts.shared_weights:
+        # Video mode: epochs over all frames with shared synthesis params.
+        def batches():
+            for start in range(0, len(names), opts.batch_size):
+                yield load_rows(names[start:start + opts.batch_size])
+
+        tic = time.time()
+        tuned, history = pti.optimize_shared(batches, steps=opts.steps,
+                                             batch_size=opts.batch_size)
+        print(f"shared-weights PTI over {len(names)} frames: "
+              f"{time.time() - tic:.1f}s, final loss "
+              f"{history[-1]['loss']:.4f} (lpips {history[-1]['lpips']:.4f})")
+        import jax
+        model = Generator(cfg)
+        tuned_vars = pti.tuned_variables(tuned)
+        render = jax.jit(lambda ws: model.apply(
+            tuned_vars, ws, method=model.synthesize))
+        for start in range(0, len(names), opts.batch_size):
+            batch_names = names[start:start + opts.batch_size]
+            codes, _, _ = load_rows(batch_names)
+            imgs = render(codes)
+            for bi, name in enumerate(batch_names):
+                tensor2im(np.asarray(imgs[bi])).save(out_dir / "images" / name)
+        if opts.save_models:
+            variables_to_npz({"synthesis_tuned": tuned},
+                             str(out_dir / "pti_video_model.npz"))
+        return
+
+    for start in range(0, len(names), opts.batch_size):
+        batch_names = names[start:start + opts.batch_size]
+        codes, targets, tfm = load_rows(batch_names)
         tic = time.time()
         stacked, imgs, metrics = pti.optimize_batch(codes, targets, tfm)
         dt = time.time() - tic

@@ -124,6 +124,43 @@ class TFNetworkStub(EasyDict):
         self.update(state or {})
 
 
+class TorchModuleStub:
+    """Captured state of a pickled `torch.nn` module — the class itself is
+    never imported or instantiated; only its pickled `__dict__`
+    (`_parameters`/`_buffers`/`_modules`) is kept, which
+    `_collect_module_state` already knows how to walk. Covers assets like
+    the reference's `in_embeddings/tf_efficientnet_lite0.pkl` (a pickled
+    `nn.Embedding` of StyleGAN-XL's ImageNet class embeddings, consumed at
+    networks_stylegan3_resetting.py:137, pg_modules/discriminator.py:101)."""
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple):  # (dict, slots) protocol form
+            state = state[0] or {}
+        self.__dict__.update(state or {})
+
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        _collect_module_state(self, "", out)
+        return out
+
+    def __repr__(self):
+        return f"TorchModuleStub({sorted(self.__dict__.keys())})"
+
+
+def _safe_load_type(name: str):
+    """Closed-map stand-in for `dill._dill._load_type` (dill-written pickles
+    rebuild builtin TYPES by name, e.g. `set` for a module's
+    `_non_persistent_buffers_set`). Anything outside the map is refused."""
+    safe = {"set": set, "frozenset": frozenset, "dict": dict, "list": list,
+            "tuple": tuple, "str": str, "bytes": bytes, "int": int,
+            "float": float, "bool": bool, "complex": complex,
+            "object": object, "type": type, "NoneType": type(None)}
+    if name not in safe:
+        raise pickle.UnpicklingError(
+            f"refusing to load type {name!r} via dill._load_type")
+    return safe[name]
+
+
 class _StandaloneUnpickler(pickle.Unpickler):
     # Exact (module, name) pairs needed to reconstruct tensor/ndarray state.
     # Module-prefix allowlisting is NOT safe: e.g. a prefix of "builtins"
@@ -171,6 +208,12 @@ class _StandaloneUnpickler(pickle.Unpickler):
         if module.split(".")[0] in ("dnnlib", "torch_utils"):
             # Any other reference-internal symbol: benign dict-like stub.
             return EasyDict
+        if module.startswith("torch.nn."):
+            # Pickled torch modules (e.g. nn.Embedding weight tables):
+            # capture state WITHOUT importing/instantiating the class.
+            return TorchModuleStub
+        if module == "dill._dill" and name == "_load_type":
+            return _safe_load_type
         if (module, name) in self._ALLOWED_EXACT:
             return super().find_class(module, name)
         if module == "builtins" and name in self._ALLOWED_BUILTINS:

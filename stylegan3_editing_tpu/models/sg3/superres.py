@@ -96,3 +96,18 @@ def class_embedding_init(num_classes: int, c_dim: int, seed: int = 0
     resetting.py:126): class one-hots → embedding rows fed as mapping `c`."""
     rng = np.random.RandomState(seed)
     return rng.randn(num_classes, c_dim).astype(np.float32)
+
+
+def load_class_embedding(path) -> np.ndarray:
+    """Pretrained ImageNet class-embedding table from the reference's
+    `in_embeddings/*.pkl` assets (a pickled `nn.Embedding`, loaded by
+    networks_stylegan3_resetting.py:134-137 and
+    pg_modules/discriminator.py:95-106, `{'embed': Embedding}`). Read with
+    the standalone allowlist unpickler — no torch class is instantiated.
+    Returns [num_classes, embed_dim] float32."""
+    from .persistence import _StandaloneUnpickler
+
+    with open(path, "rb") as f:
+        data = _StandaloneUnpickler(f).load()
+    weight = data["embed"].state_dict()["weight"]
+    return np.asarray(weight, dtype=np.float32)

@@ -322,6 +322,14 @@ def test_standalone_pkl_rejects_builtins_payloads(tmp_path):
     data = load_network_pkl(p)
     assert data["G_ema"]["classes"] == {1, 2}
 
+    # dill's _load_type shim resolves only the closed builtin-type map —
+    # anything else (eval, a class, ...) is refused.
+    from stylegan3_editing_tpu.models.sg3.persistence import _safe_load_type
+    assert _safe_load_type("set") is set
+    for bad in ("eval", "exec", "code", "function", "builtin_function_or_method"):
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            _safe_load_type(bad)
+
 
 def test_tf1_legacy_conversion(tmp_path, fake_persistence_modules):
     """TF1 triple → torch-style networks_stylegan2 state naming

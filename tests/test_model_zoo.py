@@ -72,6 +72,25 @@ def test_superres_growth_and_stem_transfer():
     assert emb.shape == (10, 64)
 
 
+def test_load_pretrained_imagenet_class_embedding():
+    """The reference ships ONE pretrained asset usable in this environment:
+    in_embeddings/tf_efficientnet_lite0.pkl — StyleGAN-XL's ImageNet class
+    embeddings (a pickled nn.Embedding, networks_stylegan3_resetting.py:137).
+    Load it through the allowlist unpickler (no torch class instantiated)."""
+    from pathlib import Path
+
+    from stylegan3_editing_tpu.models.sg3.superres import load_class_embedding
+
+    path = Path("/root/reference/in_embeddings/tf_efficientnet_lite0.pkl")
+    if not path.exists():
+        pytest.skip("reference checkout not mounted")
+    emb = load_class_embedding(path)
+    assert emb.shape == (1000, 320)
+    assert emb.dtype == np.float32
+    assert np.isfinite(emb).all()
+    assert float(np.std(emb)) > 0.1  # trained weights, not zeros/const
+
+
 def test_upfirdn2d_shift_impl_matches_conv():
     x = jnp.asarray(RNG.randn(1, 12, 12, 3).astype(np.float32))
     for f, up, down, pad in [

@@ -80,6 +80,51 @@ def test_pti_shared_video_mode(setup):
 
 
 @pytest.mark.slow
+def test_run_pti_images_cli_both_modes(tmp_path):
+    """CLI smoke: per-image (vmapped) and --shared_weights (video,
+    reference run_pti_video.py) modes write tuned images + models."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pti_cli",
+        str(Path(__file__).parent.parent / "scripts" / "run_pti_images.py"))
+    cli = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = cli
+    spec.loader.exec_module(cli)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    names = [f"f{i}.png" for i in range(3)]
+    for n in names:
+        Image.fromarray(
+            (RNG.rand(32, 32, 3) * 255).astype("uint8")).save(img_dir / n)
+    # num_ws = num_layers + 2 = 6 at the tiny decoder below.
+    latents = {n: RNG.randn(1, 6, 512).astype(np.float32) for n in names}
+    np.save(tmp_path / "latents.npy", latents, allow_pickle=True)
+
+    common = dict(
+        images_path=str(img_dir), latents_path=str(tmp_path / "latents.npy"),
+        output_size=32, steps=2, batch_size=2, lpips_lambda=0.0,
+        lpips_threshold=0.0, decoder_channel_base=512,
+        decoder_channel_max=32, decoder_num_layers=4)
+    cli.main(cli.RunPTIOptions(exp_dir=str(tmp_path / "per_image"),
+                               **common))
+    for n in names:
+        assert (tmp_path / "per_image" / "images" / n).exists()
+        assert (tmp_path / "per_image" / f"{Path(n).stem}_model.npz").exists()
+
+    cli.main(cli.RunPTIOptions(exp_dir=str(tmp_path / "video"),
+                               shared_weights=True, **common))
+    for n in names:
+        assert (tmp_path / "video" / "images" / n).exists()
+    assert (tmp_path / "video" / "pti_video_model.npz").exists()
+
+
+@pytest.mark.slow
 def test_pti_spatially_sharded_matches_unsharded():
     """Shared-mode PTI under H-sharded synthesis (`PTI(mesh=...)`) takes the
     SAME step as the unsharded PTI (halo-exchange grads are exact) and its
