@@ -82,12 +82,19 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
-    print(json.dumps({
+    record = {
         "metric": f"sg3_r_{res}x{res}_synthesis_throughput",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": None,
-    }))
+    }
+    if not on_tpu:
+        record["note"] = (
+            "TPU tunnel unavailable (backend init probe timed out) — this is "
+            "the CPU smoke fallback at 64², NOT the flagship metric. Last "
+            "real-chip measurement: 7.12 img/s/chip, SG3-R 1024², batch 8, "
+            "2026-08-17 (BASELINE.md round-3 tables).")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
