@@ -67,6 +67,13 @@ class SetGANCliOptions:
     seed: int = 0
     resume: Optional[str] = None
     generator_path: Optional[str] = None  # pretrained stem (.pt/.npz)
+    # Progressive superres phase (reference train_setgan.py:360-361, 508 +
+    # scripts/train_setgan_superres.sh): grow the decoder from a previous
+    # run's snapshot and train ONLY the new head layers.
+    superres: bool = False
+    head_layers: int = 7
+    up_factor: int = 2  # stem res fallback when the snapshot has no meta
+    path_stem: Optional[str] = None  # stem snapshot (.npz from a stem run)
     # FID feature network: converted InceptionV3 (pool3) weights .npz — the
     # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
     # in-repo InceptionV3 at random init (plumbing identical; numbers not
@@ -167,6 +174,32 @@ def main(opts: SetGANCliOptions):
         else:
             gen_vars, _ = load_torch_pt(opts.generator_path, decoder_cfg)
 
+    stem_vars = None
+    superres_cfg_kwargs = {}
+    if opts.superres:
+        assert opts.path_stem, "--superres needs --path_stem (stem snapshot)"
+        from stylegan3_editing_tpu.models.sg3.superres import (
+            head_layer_names, superres_config)
+        from stylegan3_editing_tpu.runtime.checkpoint import load_pytree
+        stem_tree, stem_meta = load_pytree(opts.path_stem)
+        if stem_meta and stem_meta.get("decoder_cfg"):
+            stem_cfg = SG3Config(**{k: (tuple(v) if isinstance(v, list)
+                                        else v)
+                                    for k, v in
+                                    stem_meta["decoder_cfg"].items()})
+        else:  # older snapshot: reconstruct from the CLI recipe
+            stem_cfg = sg3_t_config(
+                opts.resolution // opts.up_factor, channel_base=opts.cbase,
+                channel_max=opts.cmax, num_layers=opts.syn_layers)
+        decoder_cfg = superres_config(stem_cfg, opts.resolution,
+                                      opts.head_layers)
+        stem_vars = {col: stem_tree["g_vars"][col]["decoder"]
+                     for col in ("params", "buffers", "ema")
+                     if col in stem_tree.get("g_vars", {})}
+        superres_cfg_kwargs = dict(
+            train_head_only=True,
+            head_layer_names=head_layer_names(decoder_cfg, stem_cfg))
+
     cfg = SetGANTrainConfig(
         total_kimg=opts.total_kimg, batch_size=opts.batch,
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
@@ -174,11 +207,13 @@ def main(opts: SetGANCliOptions):
         eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,
         **({"d_backbones": tuple(opts.backbones.split(","))}
            if opts.backbones else {}),
+        **superres_cfg_kwargs,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
                               pl_weight=opts.pl_weight))
     trainer = SetGANTrainer(cfg, decoder_cfg, run_dir=str(run_dir),
-                            generator_variables=gen_vars)
+                            generator_variables=gen_vars,
+                            stem_variables=stem_vars)
     if opts.resume:
         trainer.restore(opts.resume)
 

@@ -75,6 +75,12 @@ class SetGANTrainConfig:
     d_interp224: bool = True  # resize D inputs to 224 (reference default)
     d_latent_size: int = 512
     d_num_discs: int = 4
+    # Superres phase (reference train_setgan.py:360-361 + loss.py:117-121):
+    # the decoder is grown from a pretrained stem and ONLY its head layers
+    # train — decoder mapping + stem synthesis layers freeze (encoder /
+    # set-attention / D keep training).
+    train_head_only: bool = False
+    head_layer_names: tuple = ()
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -83,7 +89,8 @@ class SetGANTrainer:
 
     def __init__(self, cfg: SetGANTrainConfig, decoder_cfg: SG3Config,
                  mesh=None, run_dir: Optional[str] = None,
-                 generator_variables: Optional[dict] = None):
+                 generator_variables: Optional[dict] = None,
+                 stem_variables: Optional[dict] = None):
         self.cfg = cfg
         self.decoder_cfg = decoder_cfg
         self.mesh = mesh or create_mesh()
@@ -111,6 +118,20 @@ class SetGANTrainer:
                 if col in generator_variables:
                     self.g_vars[col] = dict(self.g_vars[col])
                     self.g_vars[col]["decoder"] = generator_variables[col]
+        if stem_variables is not None:
+            # Superres growth: merge a (smaller) pretrained stem's decoder
+            # weights by name+shape into the grown decoder — the TPU
+            # `reinit_stem` (reference resetting.py:679-696, invoked at
+            # training_loop.py:249-251).
+            from ..models.sg3.superres import reinit_stem
+
+            dec = {col: self.g_vars[col]["decoder"]
+                   for col in ("params", "buffers", "ema")
+                   if col in self.g_vars}
+            merged = reinit_stem(dec, stem_variables)
+            for col, tree in merged.items():
+                self.g_vars[col] = dict(self.g_vars[col])
+                self.g_vars[col]["decoder"] = tree
         r0 = jnp.zeros((1, 2, res, res, 3))
         c0 = jnp.zeros((1, 1, res, res, 3))
         self.d_vars = jax.jit(self.D.init)(jax.random.PRNGKey(cfg.seed + 1),
@@ -130,7 +151,28 @@ class SetGANTrainer:
             warm_steps = cfg.warmup_kimg * 1000 / max(cfg.batch_size, 1)
             return cfg.g_lr * jnp.minimum((step + 1) / warm_steps, 1.0)
 
-        self.g_tx = optax.adam(g_schedule, b1=0.0, b2=cfg.beta2)
+        g_adam = optax.adam(g_schedule, b1=0.0, b2=cfg.beta2)
+        if cfg.train_head_only:
+            # Superres: decoder mapping + non-head synthesis layers freeze
+            # (reference loss.py:117-121 toggles requires_grad per layer by
+            # head_layer_names); routed to set_to_zero like the projector.
+            heads = set(cfg.head_layer_names)
+
+            def _label(path, _):
+                keys = [p.key for p in path if hasattr(p, "key")]
+                if keys[:2] == ["decoder", "mapping"]:
+                    return "freeze"
+                if keys[:2] == ["decoder", "synthesis"]:
+                    name = keys[2] if len(keys) > 2 else ""
+                    return "train" if name in heads else "freeze"
+                return "train"
+
+            g_labels = jax.tree_util.tree_map_with_path(
+                _label, self.g_vars["params"])
+            self.g_tx = optax.multi_transform(
+                {"train": g_adam, "freeze": optax.set_to_zero()}, g_labels)
+        else:
+            self.g_tx = g_adam
         self.g_opt = self.g_tx.init(self.g_vars["params"])
         # Frozen projector: route its leaves to set_to_zero. (NOT
         # optax.masked — masked leaves would pass RAW GRADIENTS through as
@@ -478,7 +520,10 @@ class SetGANTrainer:
                 "pl_mean": self.pl_mean}
         meta = {"cur_nimg": self.cur_nimg, "cur_tick": self.cur_tick,
                 "best_fid": self.best_fid,
-                "cfg": dataclasses.asdict(self.cfg)}
+                "cfg": dataclasses.asdict(self.cfg),
+                # Enables superres growth from this snapshot (--path_stem):
+                # the stem's architecture travels with its weights.
+                "decoder_cfg": dataclasses.asdict(self.decoder_cfg)}
         if self.ada is not None:
             meta["ada"] = dataclasses.asdict(self.ada.state)
         save_pytree(path, tree, meta)

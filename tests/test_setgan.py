@@ -276,6 +276,89 @@ def test_setgan_train_step(class_folder, tmp_path):
     assert t2.ada is not None and t2.ada.state.p == trainer.ada.state.p
 
 
+@pytest.mark.slow
+def test_setgan_superres_head_only_training(class_folder, tmp_path):
+    """Superres phase (reference train_setgan.py --superres + loss.py:117-121
+    train_head_only): stem weights transfer into the grown decoder, and one
+    train step moves ONLY head layers + encoder/attention — decoder mapping
+    and stem synthesis layers stay frozen."""
+    import json
+
+    from stylegan3_editing_tpu.models.sg3 import Generator
+    from stylegan3_editing_tpu.models.sg3.superres import (
+        head_layer_names, superres_config)
+    from stylegan3_editing_tpu.parallel import create_mesh
+
+    stem_cfg = tiny_cfg()
+    stem_model = Generator(stem_cfg)
+    stem_vars = stem_model.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, stem_cfg.z_dim)))
+    grown_cfg = superres_config(stem_cfg, 64, head_layers=2)
+    heads = head_layer_names(grown_cfg, stem_cfg)
+    assert heads  # new layers exist
+
+    cfg = SetGANTrainConfig(
+        batch_size=2, d_backbones=("vgg16_proj",), ref_resolution=64,
+        d_interp224=False, d_latent_size=64, d_num_discs=2,
+        train_head_only=True, head_layer_names=heads)
+    mesh = create_mesh(devices=jax.devices()[:2])
+    trainer = SetGANTrainer(cfg, grown_cfg, mesh=mesh, run_dir=str(tmp_path),
+                            stem_variables=stem_vars)
+
+    # Stem weights transferred by name (reinit_stem).
+    stem_syn = stem_vars["params"]["synthesis"]
+    dec_syn = trainer.g_vars["params"]["decoder"]["synthesis"]
+    stem_names = [n for n in stem_syn if n in dec_syn and n not in heads
+                  and n != "input"]
+    assert stem_names, (list(stem_syn), list(dec_syn))
+    for n in stem_names:
+        a = jax.tree_util.tree_leaves(stem_syn[n])[0]
+        b = jax.tree_util.tree_leaves(dec_syn[n])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def snap(tree):
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(tree)]
+
+    before = {
+        "mapping": snap(trainer.g_vars["params"]["decoder"]["mapping"]),
+        "stem": snap({n: dec_syn[n] for n in stem_names}),
+        "head": snap({n: dec_syn[n] for n in heads if n in dec_syn}),
+        "enc": snap(trainer.g_vars["params"]["style_attn"]),
+    }
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "reference": rng.randn(2, 3, 64, 64, 3).astype(np.float32),
+        "candidate": rng.randn(2, 2, 64, 64, 3).astype(np.float32),
+        "ref_mask": np.ones((2, 3), bool),
+        "cand_mask": np.ones((2, 2), bool),
+    }
+    m = trainer.train_step(batch)
+    assert np.isfinite(m["Loss/G/loss"]) and np.isfinite(m["Loss/D/loss"])
+
+    dec_syn2 = trainer.g_vars["params"]["decoder"]["synthesis"]
+    after = {
+        "mapping": snap(trainer.g_vars["params"]["decoder"]["mapping"]),
+        "stem": snap({n: dec_syn2[n] for n in stem_names}),
+        "head": snap({n: dec_syn2[n] for n in heads if n in dec_syn2}),
+        "enc": snap(trainer.g_vars["params"]["style_attn"]),
+    }
+    for group in ("mapping", "stem"):
+        for a, b in zip(before[group], after[group]):
+            np.testing.assert_array_equal(a, b, err_msg=f"{group} moved")
+    for group in ("head", "enc"):
+        delta = max(np.abs(a - b).max()
+                    for a, b in zip(before[group], after[group]))
+        assert delta > 1e-7, f"{group} did not train"
+
+    # Snapshot meta carries the decoder architecture (superres resume path).
+    trainer.snapshot(tmp_path / "snap")
+    with open(str(tmp_path / "snap") + ".json") as f:
+        meta = json.load(f)
+    assert meta["decoder_cfg"]["img_resolution"] == 64
+    assert meta["cfg"]["train_head_only"] is True
+
+
 def test_zip_backed_dataset(class_folder, tmp_path):
     import shutil
     zip_path = shutil.make_archive(str(tmp_path / "classes"), "zip",
