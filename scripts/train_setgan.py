@@ -74,6 +74,12 @@ class SetGANCliOptions:
     head_layers: int = 7
     up_factor: int = 2  # stem res fallback when the snapshot has no meta
     path_stem: Optional[str] = None  # stem snapshot (.npz from a stem run)
+    # "Pretrained" phase (reference scripts/train_setgan_pretrained.sh:
+    # --use_pretrained --freeze_encoder --freeze_decoder): only the
+    # set-attention (and D) train.
+    freeze_encoder: bool = False
+    freeze_decoder: bool = False
+    encoder_path: Optional[str] = None  # coach checkpoint (ReStyle encoder)
     # FID feature network: converted InceptionV3 (pool3) weights .npz — the
     # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
     # in-repo InceptionV3 at random init (plumbing identical; numbers not
@@ -200,6 +206,16 @@ def main(opts: SetGANCliOptions):
             train_head_only=True,
             head_layer_names=head_layer_names(decoder_cfg, stem_cfg))
 
+    enc_vars = None
+    if opts.encoder_path:
+        # Pretrained ReStyle encoder from a coach checkpoint (its
+        # `variables[col]["encoder"]` subtree is the same module class).
+        from stylegan3_editing_tpu.runtime.checkpoint import load_pytree
+        coach_tree, _ = load_pytree(opts.encoder_path)
+        src = coach_tree.get("variables", coach_tree)
+        enc_vars = {col: src[col]["encoder"] for col in src
+                    if isinstance(src[col], dict) and "encoder" in src[col]}
+
     cfg = SetGANTrainConfig(
         total_kimg=opts.total_kimg, batch_size=opts.batch,
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
@@ -207,13 +223,16 @@ def main(opts: SetGANCliOptions):
         eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,
         **({"d_backbones": tuple(opts.backbones.split(","))}
            if opts.backbones else {}),
+        freeze_encoder=opts.freeze_encoder,
+        freeze_decoder=opts.freeze_decoder,
         **superres_cfg_kwargs,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
                               pl_weight=opts.pl_weight))
     trainer = SetGANTrainer(cfg, decoder_cfg, run_dir=str(run_dir),
                             generator_variables=gen_vars,
-                            stem_variables=stem_vars)
+                            stem_variables=stem_vars,
+                            encoder_variables=enc_vars)
     if opts.resume:
         trainer.restore(opts.resume)
 

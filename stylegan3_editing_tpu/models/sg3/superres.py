@@ -84,7 +84,7 @@ def reinit_stem(variables: dict, stem_variables: dict,
                 elif verbose:
                     print(f"skip {path}/{key}: {sval.shape} vs {dval.shape}")
 
-    for col in ("params", "buffers", "ema"):
+    for col in ("params", "buffers", "ema", "batch_stats"):
         if col in stem_variables and col in out:
             merge(out[col], stem_variables[col], col)
     return out

@@ -81,6 +81,11 @@ class SetGANTrainConfig:
     # set-attention / D keep training).
     train_head_only: bool = False
     head_layer_names: tuple = ()
+    # "Pretrained" phase (reference scripts/train_setgan_pretrained.sh:
+    # --use_pretrained --freeze_encoder --freeze_decoder): pretrained
+    # ReStyle encoder + decoder stay fixed; only the set-attention trains.
+    freeze_encoder: bool = False
+    freeze_decoder: bool = False
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -90,7 +95,8 @@ class SetGANTrainer:
     def __init__(self, cfg: SetGANTrainConfig, decoder_cfg: SG3Config,
                  mesh=None, run_dir: Optional[str] = None,
                  generator_variables: Optional[dict] = None,
-                 stem_variables: Optional[dict] = None):
+                 stem_variables: Optional[dict] = None,
+                 encoder_variables: Optional[dict] = None):
         self.cfg = cfg
         self.decoder_cfg = decoder_cfg
         self.mesh = mesh or create_mesh()
@@ -132,6 +138,21 @@ class SetGANTrainer:
             for col, tree in merged.items():
                 self.g_vars[col] = dict(self.g_vars[col])
                 self.g_vars[col]["decoder"] = tree
+        if encoder_variables is not None:
+            # Pretrained ReStyle encoder (reference --use_pretrained): a
+            # coach checkpoint's `variables[col]["encoder"]` subtree is the
+            # SAME module class — merge by name+shape (a 6-channel ReStyle
+            # first conv is skipped; references here are 3-channel).
+            from ..models.sg3.superres import reinit_stem as _merge
+
+            enc = {col: self.g_vars[col]["encoder"]
+                   for col in ("params", "buffers", "ema", "batch_stats")
+                   if col in self.g_vars
+                   and "encoder" in self.g_vars[col]}
+            merged = _merge(enc, encoder_variables)
+            for col, tree in merged.items():
+                self.g_vars[col] = dict(self.g_vars[col])
+                self.g_vars[col]["encoder"] = tree
         r0 = jnp.zeros((1, 2, res, res, 3))
         c0 = jnp.zeros((1, 1, res, res, 3))
         self.d_vars = jax.jit(self.D.init)(jax.random.PRNGKey(cfg.seed + 1),
@@ -152,19 +173,27 @@ class SetGANTrainer:
             return cfg.g_lr * jnp.minimum((step + 1) / warm_steps, 1.0)
 
         g_adam = optax.adam(g_schedule, b1=0.0, b2=cfg.beta2)
-        if cfg.train_head_only:
-            # Superres: decoder mapping + non-head synthesis layers freeze
-            # (reference loss.py:117-121 toggles requires_grad per layer by
-            # head_layer_names); routed to set_to_zero like the projector.
+        if cfg.train_head_only or cfg.freeze_encoder or cfg.freeze_decoder:
+            # Frozen-group routing (reference requires_grad gating:
+            # loss.py:117-121 for superres head-only;
+            # train_setgan_pretrained.sh --freeze_encoder/--freeze_decoder
+            # for the set-attention-only phase). set_to_zero, not
+            # optax.masked — see the projector note above.
             heads = set(cfg.head_layer_names)
 
             def _label(path, _):
                 keys = [p.key for p in path if hasattr(p, "key")]
-                if keys[:2] == ["decoder", "mapping"]:
-                    return "freeze"
-                if keys[:2] == ["decoder", "synthesis"]:
-                    name = keys[2] if len(keys) > 2 else ""
-                    return "train" if name in heads else "freeze"
+                if keys and keys[0] == "encoder":
+                    return "freeze" if cfg.freeze_encoder else "train"
+                if keys and keys[0] == "decoder":
+                    if cfg.freeze_decoder:
+                        return "freeze"
+                    if cfg.train_head_only:
+                        if keys[1:2] == ["mapping"]:
+                            return "freeze"
+                        if keys[1:2] == ["synthesis"]:
+                            name = keys[2] if len(keys) > 2 else ""
+                            return "train" if name in heads else "freeze"
                 return "train"
 
             g_labels = jax.tree_util.tree_map_with_path(

@@ -359,6 +359,61 @@ def test_setgan_superres_head_only_training(class_folder, tmp_path):
     assert meta["cfg"]["train_head_only"] is True
 
 
+@pytest.mark.slow
+def test_setgan_pretrained_phase_freezes_encoder_and_decoder(tmp_path):
+    """'Pretrained' phase (reference scripts/train_setgan_pretrained.sh:
+    --use_pretrained --freeze_encoder --freeze_decoder): a pretrained
+    ReStyle encoder merges in, and one train step moves ONLY the
+    set-attention — encoder and decoder stay fixed."""
+    from stylegan3_editing_tpu.models.encoders.backbones import (
+        ProgressiveBackboneEncoder)
+    from stylegan3_editing_tpu.parallel import create_mesh
+
+    dec_cfg = tiny_cfg()
+    enc = ProgressiveBackboneEncoder(n_styles=dec_cfg.num_ws,
+                                     style_dim=dec_cfg.w_dim)
+    enc_vars = enc.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+
+    cfg = SetGANTrainConfig(
+        batch_size=2, d_backbones=("vgg16_proj",), ref_resolution=64,
+        d_interp224=False, d_latent_size=64, d_num_discs=2,
+        freeze_encoder=True, freeze_decoder=True)
+    mesh = create_mesh(devices=jax.devices()[:2])
+    trainer = SetGANTrainer(cfg, dec_cfg, mesh=mesh, run_dir=str(tmp_path),
+                            encoder_variables=dict(enc_vars))
+
+    # Pretrained encoder weights landed (merge by name+shape).
+    src_leaf = jax.tree_util.tree_leaves(enc_vars["params"])[0]
+    dst_leaf = jax.tree_util.tree_leaves(
+        trainer.g_vars["params"]["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(src_leaf), np.asarray(dst_leaf))
+
+    def snap(tree):
+        return [np.asarray(l) for l in jax.tree_util.tree_leaves(tree)]
+
+    before_enc = snap(trainer.g_vars["params"]["encoder"])
+    before_dec = snap(trainer.g_vars["params"]["decoder"])
+    before_attn = snap(trainer.g_vars["params"]["style_attn"])
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "reference": rng.randn(2, 3, 64, 64, 3).astype(np.float32),
+        "candidate": rng.randn(2, 2, 32, 32, 3).astype(np.float32),
+        "ref_mask": np.ones((2, 3), bool),
+        "cand_mask": np.ones((2, 2), bool),
+    }
+    m = trainer.train_step(batch)
+    assert np.isfinite(m["Loss/G/loss"]) and np.isfinite(m["Loss/D/loss"])
+
+    for a, b in zip(before_enc, snap(trainer.g_vars["params"]["encoder"])):
+        np.testing.assert_array_equal(a, b, err_msg="encoder moved")
+    for a, b in zip(before_dec, snap(trainer.g_vars["params"]["decoder"])):
+        np.testing.assert_array_equal(a, b, err_msg="decoder moved")
+    delta = max(np.abs(a - b).max() for a, b in
+                zip(before_attn, snap(trainer.g_vars["params"]["style_attn"])))
+    assert delta > 1e-7, "set-attention did not train"
+
+
 def test_zip_backed_dataset(class_folder, tmp_path):
     import shutil
     zip_path = shutil.make_archive(str(tmp_path / "classes"), "zip",
