@@ -80,6 +80,8 @@ class SetGANCliOptions:
     freeze_encoder: bool = False
     freeze_decoder: bool = False
     encoder_path: Optional[str] = None  # coach checkpoint (ReStyle encoder)
+    restyle_mode: str = "none"  # none | encoder (iterative ref encoding)
+    restyle_iters: int = 3
     # FID feature network: converted InceptionV3 (pool3) weights .npz — the
     # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
     # in-repo InceptionV3 at random init (plumbing identical; numbers not
@@ -225,6 +227,8 @@ def main(opts: SetGANCliOptions):
            if opts.backbones else {}),
         freeze_encoder=opts.freeze_encoder,
         freeze_decoder=opts.freeze_decoder,
+        restyle_mode=opts.restyle_mode,
+        restyle_iters=opts.restyle_iters,
         **superres_cfg_kwargs,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,

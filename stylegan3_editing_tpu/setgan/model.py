@@ -142,6 +142,13 @@ class SetGAN(nn.Module):
     use_set_decoder: bool = True
     use_temperature: bool = False
     disable_style_concat: bool = False
+    # ReStyle iterative reference encoding (reference --restyle_mode
+    # encoder, models/setgan/restyle.py:7-41 + setgan.py:100-101): the
+    # encoder consumes [reference, previous reconstruction] (6 channels)
+    # and refines codes over `restyle_iters` residual steps starting from
+    # the average latent/image.
+    restyle_mode: str = "none"  # 'none' | 'encoder'
+    restyle_iters: int = 3
 
     def setup(self):
         self.decoder, self._num_ws = make_stem(self.stem, self.decoder_cfg)
@@ -182,7 +189,36 @@ class SetGAN(nn.Module):
             assert latent_avg is not None, "mean_center requires latent_avg"
             latent_avg = jnp.asarray(latent_avg)
 
-        codes = self.encoder(to_images(x), train=train)  # [B·R, n_styles, D]
+        imgs = to_images(x)  # [B·R, H, W, 3]
+        if self.restyle_mode == "encoder":
+            # Restyle wrapper semantics (reference restyle.py:19-41): start
+            # from (latent_avg, avg_image), iterate encoder([x, y]) as
+            # residual code updates, decoding between iterations.
+            from ..ops.image import resize_bilinear
+
+            assert latent_avg is not None, "restyle needs latent_avg"
+            n, enc_res = imgs.shape[0], imgs.shape[1]
+            avg_codes = jnp.broadcast_to(
+                latent_avg[None, None, :],
+                (1, self._num_ws, latent_avg.shape[-1]))
+            avg_image = self.decoder.synthesize(avg_codes,
+                                                force_fp32=force_fp32)
+            y = resize_bilinear(avg_image, enc_res)
+            y = jnp.broadcast_to(y, imgs.shape)
+            codes = jnp.broadcast_to(
+                avg_codes, (n,) + avg_codes.shape[1:])
+            for i in range(self.restyle_iters):
+                delta = self.encoder(
+                    jnp.concatenate([imgs, y.astype(imgs.dtype)], axis=-1),
+                    train=train)
+                codes = codes + delta
+                if i < self.restyle_iters - 1:
+                    y = resize_bilinear(
+                        self.decoder.synthesize(codes,
+                                                force_fp32=force_fp32),
+                        enc_res)
+        else:
+            codes = self.encoder(imgs, train=train)  # [B·R, n_styles, D]
         if self.mean_center:
             codes = codes - latent_avg[None, None, :]
         codes = to_set(codes, bs)  # [B, R, n_styles, D]

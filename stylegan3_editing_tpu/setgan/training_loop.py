@@ -86,6 +86,9 @@ class SetGANTrainConfig:
     # ReStyle encoder + decoder stay fixed; only the set-attention trains.
     freeze_encoder: bool = False
     freeze_decoder: bool = False
+    # ReStyle iterative reference encoding (reference --restyle_mode).
+    restyle_mode: str = "none"  # 'none' | 'encoder'
+    restyle_iters: int = 3
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -109,7 +112,9 @@ class SetGANTrainer:
         rng = jax.random.PRNGKey(cfg.seed)
         # FastGAN has no mapping net / w_avg → no mean-centering.
         self.G = SetGAN(decoder_cfg, stem=cfg.stem,
-                        mean_center=cfg.stem != "fastgan")
+                        mean_center=cfg.stem != "fastgan",
+                        restyle_mode=cfg.restyle_mode,
+                        restyle_iters=cfg.restyle_iters)
         self.D = ProjectedSetDiscriminator(
             backbones=tuple(cfg.d_backbones), interp224=cfg.d_interp224,
             latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs)

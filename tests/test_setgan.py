@@ -118,6 +118,33 @@ def test_setgan_forward(setgan_model):
     assert bool(jnp.isfinite(imgs).all())
 
 
+def test_setgan_restyle_encoder_mode():
+    """restyle_mode='encoder' (reference restyle.py:19-41 + setgan.py:100):
+    6-channel iterative reference encoding runs end-to-end and the iteration
+    count matters (more residual steps → different codes)."""
+    cfg = tiny_cfg()
+    x = jnp.asarray(RNG.randn(1, 2, 64, 64, 3).astype(np.float32))
+    z = jnp.asarray(RNG.randn(1, 1, cfg.z_dim).astype(np.float32))
+
+    def run(iters):
+        model = SetGAN(cfg, attn_layers=1, restyle_mode="encoder",
+                       restyle_iters=iters)
+        variables = model.init(jax.random.PRNGKey(0), x, z,
+                               latent_avg=jnp.zeros((cfg.w_dim,)))
+        latent_avg = variables["ema"]["decoder"]["mapping"]["w_avg"]
+        imgs, latents = model.apply(variables, x, z, latent_avg=latent_avg,
+                                    return_latents=True)
+        return imgs, latents
+
+    imgs1, lat1 = run(1)
+    assert imgs1.shape == (1, 1, 32, 32, 3)
+    assert bool(jnp.isfinite(imgs1).all())
+    imgs2, lat2 = run(2)
+    assert bool(jnp.isfinite(imgs2).all())
+    # Same init seed, different iteration depth → different codes.
+    assert not np.allclose(np.asarray(lat1), np.asarray(lat2))
+
+
 # ---------------------------------------------------------- discriminator
 
 def test_projected_set_discriminator(setgan_model):
