@@ -82,6 +82,17 @@ class SetGANCliOptions:
     encoder_path: Optional[str] = None  # coach checkpoint (ReStyle encoder)
     restyle_mode: str = "none"  # none | encoder (iterative ref encoding)
     restyle_iters: int = 3
+    # Architecture knobs (reference --g/d_attn_heads/layers etc.)
+    g_attn_heads: int = 4
+    g_attn_layers: int = 2
+    d_attn_heads: int = 4
+    d_attn_layers: int = 2
+    d_latent: int = 512
+    use_set_decoder: bool = True
+    use_temperature: bool = False
+    disable_style_concat: bool = False
+    no_mean_center: bool = False
+    encoder_type: str = "ProgressiveBackboneEncoder"
     # FID feature network: converted InceptionV3 (pool3) weights .npz — the
     # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
     # in-repo InceptionV3 at random init (plumbing identical; numbers not
@@ -229,6 +240,14 @@ def main(opts: SetGANCliOptions):
         freeze_decoder=opts.freeze_decoder,
         restyle_mode=opts.restyle_mode,
         restyle_iters=opts.restyle_iters,
+        g_attn_heads=opts.g_attn_heads, g_attn_layers=opts.g_attn_layers,
+        d_attn_heads=opts.d_attn_heads, d_attn_layers=opts.d_attn_layers,
+        d_latent_size=opts.d_latent,
+        use_set_decoder=opts.use_set_decoder,
+        use_temperature=opts.use_temperature,
+        disable_style_concat=opts.disable_style_concat,
+        mean_center=False if opts.no_mean_center else None,
+        encoder_type=opts.encoder_type,
         **superres_cfg_kwargs,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,

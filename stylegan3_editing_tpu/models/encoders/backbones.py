@@ -60,10 +60,10 @@ class _ResNetTrunk(nn.Module):
         return ResNet34Body(name="body")(x, train=train)
 
 
-def _read_styles(x, n_styles: int):
-    latents = [GradualStyleBlock(512, 16, name=f"style_{j}")(x)
+def _read_styles(x, n_styles: int, style_dim: int = 512):
+    latents = [GradualStyleBlock(style_dim, 16, name=f"style_{j}")(x)
                for j in range(n_styles)]
-    return jnp.stack(latents, axis=1)  # [N, n_styles, 512]
+    return jnp.stack(latents, axis=1)  # [N, n_styles, style_dim]
 
 
 def _progressive_styles(x, n_styles: int, stage: int, style_dim: int = 512):
@@ -87,22 +87,24 @@ class BackboneEncoder(nn.Module):
     num_layers: int = 50
     mode: str = "ir_se"
     n_styles: int = 16
+    style_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = _IRSETrunk(self.num_layers, self.mode, name="trunk")(x, train=train)
-        return _read_styles(feat, self.n_styles)
+        return _read_styles(feat, self.n_styles, self.style_dim)
 
 
 class ResNetBackboneEncoder(nn.Module):
     """ReStyle-pSp encoder, ResNet-34 trunk."""
 
     n_styles: int = 16
+    style_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = _ResNetTrunk(name="trunk")(x, train=train)
-        return _read_styles(feat, self.n_styles)
+        return _read_styles(feat, self.n_styles, self.style_dim)
 
 
 class ProgressiveBackboneEncoder(nn.Module):
@@ -123,8 +125,9 @@ class ResNetProgressiveBackboneEncoder(nn.Module):
     """ReStyle-e4e encoder, ResNet-34 trunk, w0 + progressive deltas."""
 
     n_styles: int = 16
+    style_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False, stage: int = INFERENCE_STAGE):
         feat = _ResNetTrunk(name="trunk")(x, train=train)
-        return _progressive_styles(feat, self.n_styles, stage)
+        return _progressive_styles(feat, self.n_styles, stage, self.style_dim)

@@ -178,6 +178,8 @@ class MultiScaleD(nn.Module):
     resolutions: Sequence[int]
     latent_size: int = 512
     num_discs: int = 4
+    attn_heads: int = 4   # reference --d_attn_heads
+    attn_layers: int = 2  # reference --d_attn_layers
 
     @nn.compact
     def __call__(self, r_features: Dict[str, jax.Array],
@@ -192,7 +194,9 @@ class MultiScaleD(nn.Module):
                               out_features=self.latent_size, name=f"disc{i}")
             r_enc = to_set(disc(to_images(rf)), b)
             x_enc = to_set(disc(to_images(xf)), b)
-            score = MultiSetComparator(self.latent_size, name=f"set{i}")(
+            score = MultiSetComparator(
+                self.latent_size, num_heads=self.attn_heads,
+                num_blocks=self.attn_layers, name=f"set{i}")(
                 r_enc, x_enc, r_mask=r_mask, x_mask=x_mask)
             logits.append(score)
         return jnp.concatenate(logits, axis=1)  # [B, num_discs]
@@ -207,6 +211,8 @@ class ProjectedSetDiscriminator(nn.Module):
     diffaug: bool = True
     interp224: bool = True
     backbones: Tuple[str, ...] = ("vgg16_proj",)
+    attn_heads: int = 4
+    attn_layers: int = 2
 
     @nn.compact
     def __call__(self, r: jax.Array, x: jax.Array,
@@ -257,7 +263,9 @@ class ProjectedSetDiscriminator(nn.Module):
             res0 = in_res // (2 if bb == "vgg16_proj" else 4)
             resolutions = [res0 // (2 ** i) for i in range(4)]
             logits = MultiScaleD(resolutions, self.latent_size,
-                                 self.num_discs, name=f"d_{bb}")(
+                                 self.num_discs, attn_heads=self.attn_heads,
+                                 attn_layers=self.attn_layers,
+                                 name=f"d_{bb}")(
                 r_feats, x_feats, r_mask=r_mask, x_mask=x_mask)
             all_logits.append(logits)
         return jnp.concatenate(all_logits, axis=1)

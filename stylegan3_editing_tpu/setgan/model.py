@@ -149,10 +149,14 @@ class SetGAN(nn.Module):
     # the average latent/image.
     restyle_mode: str = "none"  # 'none' | 'encoder'
     restyle_iters: int = 3
+    # Encoder family (reference --encoder_type, restyle_*_encoders.py).
+    encoder_type: str = "ProgressiveBackboneEncoder"
 
     def setup(self):
+        from ..models.encoders.restyle import ENCODER_TYPES
+
         self.decoder, self._num_ws = make_stem(self.stem, self.decoder_cfg)
-        self.encoder = ProgressiveBackboneEncoder(
+        self.encoder = ENCODER_TYPES[self.encoder_type](
             n_styles=self._num_ws, style_dim=self.decoder_cfg.w_dim)
         self.style_attn = StyleAttention(
             n_styles=self._num_ws,

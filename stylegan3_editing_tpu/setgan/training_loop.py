@@ -89,6 +89,18 @@ class SetGANTrainConfig:
     # ReStyle iterative reference encoding (reference --restyle_mode).
     restyle_mode: str = "none"  # 'none' | 'encoder'
     restyle_iters: int = 3
+    # Architecture knobs (reference --g_attn_heads/--g_attn_layers/
+    # --d_attn_heads/--d_attn_layers/--use_set_decoder/--use_temperature/
+    # --disable_style_concat/--no_mean_center/--encoder_type).
+    g_attn_heads: int = 4
+    g_attn_layers: int = 2
+    d_attn_heads: int = 4
+    d_attn_layers: int = 2
+    use_set_decoder: bool = True
+    use_temperature: bool = False
+    disable_style_concat: bool = False
+    mean_center: Optional[bool] = None  # None → off only for fastgan stems
+    encoder_type: str = "ProgressiveBackboneEncoder"
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -111,13 +123,22 @@ class SetGANTrainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         # FastGAN has no mapping net / w_avg → no mean-centering.
+        mean_center = (cfg.mean_center if cfg.mean_center is not None
+                       else cfg.stem != "fastgan")
         self.G = SetGAN(decoder_cfg, stem=cfg.stem,
-                        mean_center=cfg.stem != "fastgan",
+                        mean_center=mean_center,
                         restyle_mode=cfg.restyle_mode,
-                        restyle_iters=cfg.restyle_iters)
+                        restyle_iters=cfg.restyle_iters,
+                        n_heads=cfg.g_attn_heads,
+                        attn_layers=cfg.g_attn_layers,
+                        use_set_decoder=cfg.use_set_decoder,
+                        use_temperature=cfg.use_temperature,
+                        disable_style_concat=cfg.disable_style_concat,
+                        encoder_type=cfg.encoder_type)
         self.D = ProjectedSetDiscriminator(
             backbones=tuple(cfg.d_backbones), interp224=cfg.d_interp224,
-            latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs)
+            latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs,
+            attn_heads=cfg.d_attn_heads, attn_layers=cfg.d_attn_layers)
 
         res = decoder_cfg.img_resolution
         x0 = jnp.zeros((1, 2, cfg.ref_resolution, cfg.ref_resolution, 3))
