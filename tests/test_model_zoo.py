@@ -90,6 +90,20 @@ def test_load_pretrained_imagenet_class_embedding():
     assert np.isfinite(emb).all()
     assert float(np.std(emb)) > 0.1  # trained weights, not zeros/const
 
+    # End-to-end: the XL conditioning scheme (resetting.py:139-141 — class
+    # index → frozen embedding row → mapping's embed FC) is `c = emb[label]`
+    # on a c_dim=embed_dim generator. Different classes → different images.
+    cfg = SG3Config(img_resolution=32, channel_base=512, channel_max=32,
+                    num_layers=4, num_critical=2, use_bf16=False,
+                    c_dim=emb.shape[1])
+    g = Generator(cfg)
+    z = jnp.zeros((2, cfg.z_dim))
+    c = jnp.asarray(emb[np.array([3, 873])])
+    variables = g.init(jax.random.PRNGKey(0), z, c=c)
+    imgs = g.apply(variables, z, c=c)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert not np.allclose(np.asarray(imgs[0]), np.asarray(imgs[1]))
+
 
 def test_upfirdn2d_shift_impl_matches_conv():
     x = jnp.asarray(RNG.randn(1, 12, 12, 3).astype(np.float32))
