@@ -65,28 +65,34 @@ class DeiTFeatures(nn.Module):
     dim: int = _DIM
     heads: int = _HEADS
     stage_ch: tuple = _STAGE_CH
+    # 2 = distilled DeiT (cls+dist, start_index=2); 1 = plain ViT (cls only,
+    # start_index=1 — reference _make_vit, pretrained_builder.py:167).
+    prefix_tokens: int = 2
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
         n, hh, ww, _ = x.shape
         dim = self.dim
+        npf = self.prefix_tokens
         gh, gw = hh // 16, ww // 16
         tok = nn.Conv(dim, (16, 16), strides=16, name="patch_embed")(x)
         tok = tok.reshape(n, gh * gw, dim)
         cls = self.param("cls_token",
                          lambda k: jnp.zeros((1, 1, dim), jnp.float32))
-        dist = self.param("dist_token",
-                          lambda k: jnp.zeros((1, 1, dim), jnp.float32))
+        prefix = [jnp.tile(cls, (n, 1, 1))]
+        if npf == 2:
+            dist = self.param("dist_token",
+                              lambda k: jnp.zeros((1, 1, dim), jnp.float32))
+            prefix.append(jnp.tile(dist, (n, 1, 1)))
         pos = self.param(
             "pos_embed",
-            lambda k: jnp.zeros((1, 2 + 14 * 14, dim), jnp.float32))
-        tok = jnp.concatenate([jnp.tile(cls, (n, 1, 1)),
-                               jnp.tile(dist, (n, 1, 1)), tok], axis=1)
-        if gh * gw != pos.shape[1] - 2:  # interpolate pos embed (vit.py:100)
-            grid = pos[:, 2:].reshape(1, 14, 14, dim)
+            lambda k: jnp.zeros((1, npf + 14 * 14, dim), jnp.float32))
+        tok = jnp.concatenate(prefix + [tok], axis=1)
+        if gh * gw != pos.shape[1] - npf:  # interpolate pos embed (vit.py:100)
+            grid = pos[:, npf:].reshape(1, 14, 14, dim)
             grid = jax.image.resize(grid, (1, gh, gw, dim), "bilinear")
             pos = jnp.concatenate(
-                [pos[:, :2], grid.reshape(1, gh * gw, dim)], axis=1)
+                [pos[:, :npf], grid.reshape(1, gh * gw, dim)], axis=1)
         tok = tok + pos
 
         hooks = {}
@@ -97,7 +103,7 @@ class DeiTFeatures(nn.Module):
 
         outs = []
         for si, hook in enumerate(_HOOKS):
-            t = hooks[hook][:, 2:]  # drop cls+dist (readout 'ignore')
+            t = hooks[hook][:, npf:]  # drop prefix tokens (readout 'ignore')
             fmap = t.reshape(n, gh, gw, dim)
             fmap = nn.Conv(self.stage_ch[si], (1, 1),
                            name=f"head{si}_proj")(fmap)
@@ -120,6 +126,18 @@ def DeiTSmallFeatures(**kw):
     return DeiTFeatures(dim=384, heads=6, stage_ch=(48, 96, 192, 384), **kw)
 
 
+def DeiTTinyFeatures(**kw):
+    """timm `deit_tiny_distilled_patch16_224` (_make_vit 'tiny',
+    pretrained_builder.py:139-142)."""
+    return DeiTFeatures(dim=192, heads=3, stage_ch=(24, 48, 96, 192), **kw)
+
+
+def ViTBaseFeatures(**kw):
+    """timm `vit_base_patch16_224` — plain ViT, cls token only
+    (start_index=1, pretrained_builder.py:167; VITS_INCEPTION stats)."""
+    return DeiTFeatures(prefix_tokens=1, **kw)
+
+
 def convert_deit(state: Mapping[str, np.ndarray]) -> dict:
     """timm `deit_base_distilled_patch16_224` state dict → trunk params.
 
@@ -133,7 +151,8 @@ def convert_deit(state: Mapping[str, np.ndarray]) -> dict:
                     .transpose(2, 3, 1, 0)))
     put(p, "patch_embed/bias", state["patch_embed.proj.bias"])
     put(p, "cls_token", state["cls_token"])
-    put(p, "dist_token", state["dist_token"])
+    if "dist_token" in state:  # plain (non-distilled) ViTs have cls only
+        put(p, "dist_token", state["dist_token"])
     put(p, "pos_embed", state["pos_embed"])
     for i in range(_DEPTH):
         src = f"blocks.{i}"

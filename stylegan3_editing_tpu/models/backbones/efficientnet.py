@@ -23,7 +23,7 @@ import numpy as np
 
 from .common import BatchNorm, bn_from_torch, conv_w, put
 
-# Per-stage (num_blocks, kernel, stride, expand_ratio, out_channels); lite0.
+# Per-stage (num_blocks, kernel, stride, expand_ratio, out_channels); b0/lite0.
 _STAGES = (
     (1, 3, 1, 1, 16),
     (2, 3, 2, 6, 24),
@@ -35,6 +35,52 @@ _STAGES = (
 )
 # Stage index ranges per feature level (reference pretrained_builder.py:120-126).
 _LEVELS = ((0, 2), (2, 3), (3, 5), (5, 7))
+
+
+def _round_channels(c: float, mult: float) -> int:
+    """timm `round_channels` (divisor 8) — EfficientNet width scaling."""
+    v = c * mult
+    new_v = max(8, int(v + 4) // 8 * 8)
+    if new_v < 0.9 * v:
+        new_v += 8
+    return new_v
+
+
+def scaled_stages(width_mult: float = 1.0, depth_mult: float = 1.0,
+                  fix_first_last: bool = False):
+    """Compound-scale the b0/lite0 stage table (timm decode_arch_def:
+    per-stage `ceil(blocks · depth_mult)`, `round_channels(c · width_mult)`;
+    the lite family pins the first/last stages' depth)."""
+    import math
+    out = []
+    last = len(_STAGES) - 1
+    for si, (blocks, k, s, e, c) in enumerate(_STAGES):
+        if not (fix_first_last and si in (0, last)):
+            blocks = int(math.ceil(blocks * depth_mult))
+        out.append((blocks, k, s, e, _round_channels(c, width_mult)))
+    return tuple(out)
+
+
+# name → (width_mult, depth_mult). Same compound-scaling ladder for the b
+# and lite families (timm efficientnet.py; reference EFFNETS lists,
+# constants.py:67-91). b-series scales the 32ch stem too; lite pins it.
+EFFICIENTNET_SCALING = {
+    0: (1.0, 1.0), 1: (1.0, 1.1), 2: (1.1, 1.2), 3: (1.2, 1.4), 4: (1.4, 1.8),
+}
+
+
+def efficientnet_family(name: str):
+    """'tf_efficientnet_b3' / 'tf_efficientnet_lite2' / 'tf_efficientnet_b0_ns'
+    → (stages, stem_channels, se, act). `_ns` (noisy-student weights) shares
+    the base architecture."""
+    base = name.replace("_ns", "")
+    kind, idx = base.rsplit("_", 1)  # 'tf_efficientnet', 'b3' | 'lite2'
+    lite = idx.startswith("lite")
+    n = int(idx[4:] if lite else idx[1:])
+    w, d = EFFICIENTNET_SCALING[n]
+    if lite:
+        return (scaled_stages(w, d, fix_first_last=True), 32, False, "relu6")
+    return (scaled_stages(w, d), _round_channels(32, w), True, "silu")
 
 _relu6 = lambda v: jnp.minimum(jax.nn.relu(v), 6.0)
 _ACTS = {"relu6": _relu6, "silu": jax.nn.silu}
@@ -129,19 +175,21 @@ class EfficientNetFeatures(nn.Module):
 
     se: bool = False
     act: str = "relu6"
+    stages: tuple = _STAGES
+    stem: int = 32
 
     @nn.compact
     def __call__(self, x) -> List[jax.Array]:
         act = _ACTS[self.act]
-        x = nn.Conv(32, (3, 3), strides=2, padding="SAME", use_bias=False,
-                    name="conv_stem")(x)
+        x = nn.Conv(self.stem, (3, 3), strides=2, padding="SAME",
+                    use_bias=False, name="conv_stem")(x)
         x = BatchNorm(epsilon=1e-3, name="bn1")(x)
         x = act(x)
         outs = []
-        in_c = 32
+        in_c = self.stem
         for level, (s0, s1) in enumerate(_LEVELS):
             for si in range(s0, s1):
-                blocks, k, stride, exp, out = _STAGES[si]
+                blocks, k, stride, exp, out = self.stages[si]
                 for bi in range(blocks):
                     cls = DepthwiseSeparable if exp == 1 else InvertedResidual
                     se_red = max(1, int(in_c * 0.25)) if self.se else 0
@@ -165,12 +213,12 @@ def EfficientNetB0Features(**kw):
 
 
 def _convert_efficientnet_state(state: Mapping[str, np.ndarray],
-                                se: bool) -> dict:
+                                se: bool, stages=_STAGES) -> dict:
     params: Dict = {}
     stats: Dict = {}
     put(params, "conv_stem/kernel", conv_w(state["conv_stem.weight"]))
     bn_from_torch(params, stats, "bn1", state, "bn1")
-    for si, (blocks, k, stride, exp, out) in enumerate(_STAGES):
+    for si, (blocks, k, stride, exp, out) in enumerate(stages):
         for bi in range(blocks):
             src = f"blocks.{si}.{bi}"
             dst = f"blocks_{si}_{bi}"
@@ -208,3 +256,20 @@ def convert_efficientnet_lite0(state: Mapping[str, np.ndarray]) -> dict:
 def convert_efficientnet_b0(state: Mapping[str, np.ndarray]) -> dict:
     """timm `tf_efficientnet_b0` state dict → module variables."""
     return _convert_efficientnet_state(state, se=True)
+
+
+def make_efficientnet(name: str):
+    """Any `tf_efficientnet_{b0..b4,b0_ns,lite0..lite4}` → (module factory,
+    converter, 4-stage channels). Reference EFFNETS families
+    (pretrained_builder.py:394-396, constants.py:67-91)."""
+    stages, stem, se, act = efficientnet_family(name)
+    channels = tuple(stages[s1 - 1][4] for _, s1 in _LEVELS)
+
+    def make(**kw):
+        return EfficientNetFeatures(se=se, act=act, stages=stages, stem=stem,
+                                    **kw)
+
+    def convert(state):
+        return _convert_efficientnet_state(state, se=se, stages=stages)
+
+    return make, convert, channels

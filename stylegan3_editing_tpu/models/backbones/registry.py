@@ -17,6 +17,15 @@ Every entry provides:
 New families register with one ``register(...)`` call. The projected set
 discriminator resolves ``--backbones`` names through this registry
 (setgan/discriminator.py), so any registered name is trainable-against.
+
+Coverage vs the reference's ALL_MODELS (constants.py:110): every VGG/BN-VGG,
+DenseNet, ResNet depth/width/SE, shufflenet/mobilenet/mnasnet, the full
+RegNetX/Y ladder, EfficientNet b0-b4/ns/lite0-4, DeiT tiny/small/base,
+vit_base, CLIP-ViT — ~65 names. Not ported (each is one ``register()`` away;
+the reference builder cannot construct `inception_v3`/`revnet` at all):
+ghostnet/cspresnet/fbnetc/spnasnet/mixnet/vovnet/res2next/gernet/repvgg/
+nfnet one-offs, efficientnetv2 + pruned variants, resnet26d/50d/blur/rs,
+resnet50_clip.
 """
 
 from __future__ import annotations
@@ -106,12 +115,15 @@ def convert_feature_network_state(
 def _register_defaults():
     from .alexnet import AlexNetFeatures, convert_alexnet_state
     from .clip import CLIPViTStages, convert_clip_state
-    from .deit import DeiTFeatures, DeiTSmallFeatures, convert_deit
+    from .deit import (DeiTFeatures, DeiTSmallFeatures, DeiTTinyFeatures,
+                       ViTBaseFeatures, convert_deit)
     from .efficientnet import (EfficientNetB0Features,
                                EfficientNetLite0Features,
                                convert_efficientnet_b0,
                                convert_efficientnet_lite0)
-    from .resnet import (ResNet18Stages, ResNet34Stages, ResNet50Stages,
+    from .resnet import (BOTTLENECK_STAGES, ResNet18Stages, ResNet34Stages,
+                         ResNet50Stages, ResNetBottleneckStages,
+                         convert_bottleneck_stages_state,
                          convert_resnet18_state, convert_resnet34_state,
                          convert_resnet50_state)
     from .vgg import (VGG16Features, VGG19Features, convert_vgg16_state,
@@ -129,9 +141,35 @@ def _register_defaults():
     register("tf_efficientnet_b0", EfficientNetB0Features,
              IMAGENET_MEAN, IMAGENET_STD, convert_efficientnet_b0,
              (24, 40, 112, 320))
+    # Compound-scaled b/lite ladder (reference EFFNETS, constants.py:67-91;
+    # b-series = IMAGENET stats, lite = INCEPTION stats).
+    from .efficientnet import make_efficientnet
+    for _name in ("tf_efficientnet_b1", "tf_efficientnet_b2",
+                  "tf_efficientnet_b3", "tf_efficientnet_b4",
+                  "tf_efficientnet_b0_ns", "tf_efficientnet_lite1",
+                  "tf_efficientnet_lite2", "tf_efficientnet_lite3",
+                  "tf_efficientnet_lite4"):
+        _make, _convert, _channels = make_efficientnet(_name)
+        _lite = "lite" in _name
+        register(_name, _make,
+                 INCEPTION_MEAN if _lite else IMAGENET_MEAN,
+                 INCEPTION_STD if _lite else IMAGENET_STD,
+                 _convert, _channels)
+    # timm 'efficientnet_b1' (non-tf): same b1 graph; the reference
+    # normalizes it with Inception stats (constants.py EFFNETS_INCEPTION).
+    _make, _convert, _channels = make_efficientnet("tf_efficientnet_b1")
+    register("efficientnet_b1", _make, INCEPTION_MEAN, INCEPTION_STD,
+             _convert, _channels)
     register("deit_small_distilled_patch16_224", DeiTSmallFeatures,
              IMAGENET_MEAN, IMAGENET_STD, convert_deit,
              (48, 96, 192, 384))
+    register("deit_tiny_distilled_patch16_224", DeiTTinyFeatures,
+             IMAGENET_MEAN, IMAGENET_STD, convert_deit,
+             (24, 48, 96, 192))
+    # Plain ViT: INCEPTION stats (constants.py VITS_INCEPTION).
+    register("vit_base_patch16_224", ViTBaseFeatures,
+             INCEPTION_MEAN, INCEPTION_STD, convert_deit,
+             (96, 192, 384, 768))
     # Conv families.
     register("vgg16",
              lambda **kw: SlicedStages(VGG16Features, take=(1, 2, 3, 4), **kw),
@@ -143,6 +181,21 @@ def _register_defaults():
              (192, 384, 256, 256), nested=True)
     register("resnet50", ResNet50Stages, IMAGENET_MEAN, IMAGENET_STD,
              convert_resnet50_state, (256, 512, 1024, 2048))
+    # Deeper / wider / SE bottleneck variants share the module + converter
+    # (reference pretrained_builder.py:242-257, 310-314).
+    for _name in ("resnet101", "resnet152", "wide_resnet50_2",
+                  "wide_resnet101_2", "seresnet50", "resnet26"):
+        _stages = BOTTLENECK_STAGES[_name]
+        _se = _name.startswith("seresnet")
+        register(_name,
+                 (lambda _s=_stages, _e=_se: (
+                     lambda **kw: ResNetBottleneckStages(stages=_s, se=_e,
+                                                         **kw)))(),
+                 IMAGENET_MEAN, IMAGENET_STD,
+                 (lambda _s=_stages, _e=_se: (
+                     lambda state: convert_bottleneck_stages_state(
+                         state, _s, se=_e)))(),
+                 (256, 512, 1024, 2048))
     register("resnet34", ResNet34Stages, IMAGENET_MEAN, IMAGENET_STD,
              convert_resnet34_state, (64, 128, 256, 512))
     register("resnet18", ResNet18Stages, IMAGENET_MEAN, IMAGENET_STD,
@@ -151,6 +204,47 @@ def _register_defaults():
              lambda **kw: SlicedStages(VGG19Features, take=(1, 2, 3, 4), **kw),
              IMAGENET_MEAN, IMAGENET_STD, convert_vgg19_state,
              (128, 256, 512, 512), nested=True)
+    # BN variants (reference TORCHVISION: vgg11_bn/13_bn/16_bn/19_bn).
+    from .vgg import make_vgg
+    for _name in ("vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn"):
+        _make, _convert = make_vgg(_name)
+        register(_name,
+                 (lambda _m=_make: (
+                     lambda **kw: SlicedStages(_m, take=(1, 2, 3, 4), **kw)))(),
+                 IMAGENET_MEAN, IMAGENET_STD, _convert,
+                 (128, 256, 512, 512), nested=True)
+    # DenseNet family (reference _make_densenet, pretrained_builder.py:84-101).
+    from .densenet import make_densenet
+    for _name in ("densenet121", "densenet169", "densenet201"):
+        _make, _convert, _channels = make_densenet(_name)
+        register(_name, _make, IMAGENET_MEAN, IMAGENET_STD, _convert,
+                 _channels)
+    # Mobile families (reference splits at pretrained_builder.py:258-283).
+    from .mobilenet import (MNASNetStages, MobileNetV2Stages,
+                            convert_mnasnet_state, convert_mobilenet_v2_state,
+                            mnasnet_channels)
+    from .shufflenet import ShuffleNetV2Stages, convert_shufflenet_state
+    register("mobilenet_v2", MobileNetV2Stages, IMAGENET_MEAN, IMAGENET_STD,
+             convert_mobilenet_v2_state, (24, 32, 96, 320))
+    for _alpha, _name in ((0.5, "mnasnet0_5"), (1.0, "mnasnet1_0")):
+        _, _outs = mnasnet_channels(_alpha)
+        register(_name,
+                 (lambda _a=_alpha: (
+                     lambda **kw: MNASNetStages(alpha=_a, **kw)))(),
+                 IMAGENET_MEAN, IMAGENET_STD,
+                 (lambda _a=_alpha: (
+                     lambda state: convert_mnasnet_state(state, _a)))(),
+                 (_outs[0], _outs[1], _outs[3], _outs[5]))
+    register("shufflenet_v2_x0_5", ShuffleNetV2Stages,
+             IMAGENET_MEAN, IMAGENET_STD, convert_shufflenet_state,
+             (24, 48, 96, 192))
+    # RegNetX/Y ladder (reference REGNETS, constants.py:33-64; splitter
+    # pretrained_builder.py:32-40).
+    from .regnet import REGNET_PARAMS, make_regnet
+    for _name in REGNET_PARAMS:
+        _make, _convert, _channels = make_regnet(_name)
+        register(_name, _make, IMAGENET_MEAN, IMAGENET_STD, _convert,
+                 _channels)
     # ViT family via the CLIP visual trunk (reference vit_* families,
     # pretrained_builder.py:131-195).
     register("clip_vit_b32", CLIPViTStages, CLIP_MEAN, CLIP_STD,

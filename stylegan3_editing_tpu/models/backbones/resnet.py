@@ -25,6 +25,7 @@ class Bottleneck(nn.Module):
     out_channels: int
     stride: int
     downsample: bool
+    se: bool = False  # timm seresnet: SE (reduction 16) before the residual add
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,6 +39,12 @@ class Bottleneck(nn.Module):
         y = nn.relu(y)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv3")(y)
         y = BatchNorm(name="bn3")(y, train=train)
+        if self.se:
+            s = jnp.mean(y, axis=(1, 2), keepdims=True)
+            s = nn.relu(nn.Conv(self.out_channels // 16, (1, 1),
+                                name="se_fc1")(s))
+            s = nn.Conv(self.out_channels, (1, 1), name="se_fc2")(s)
+            y = y * nn.sigmoid(s)
         if self.downsample:
             identity = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
                                use_bias=False, name="down_conv")(x)
@@ -127,13 +134,16 @@ def convert_resnet34_body_state(state: Mapping[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
-    """torchvision resnet50 state dict → {'params', 'batch_stats'}."""
+def convert_bottleneck_stages_state(state: Mapping[str, np.ndarray],
+                                    stages=_STAGES, se: bool = False) -> dict:
+    """torchvision/timm bottleneck-ResNet state dict → {'params',
+    'batch_stats'} for any BOTTLENECK_STAGES family (timm seresnet50 keeps
+    its SE convs under `layerN.M.se.fc{1,2}`)."""
     params: dict = {}
     stats: dict = {}
     put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
     bn_from_torch(params, stats, "bn1", state, "bn1")
-    for stage_i, (blocks, _, _, _) in enumerate(_STAGES, start=1):
+    for stage_i, (blocks, _, _, _) in enumerate(stages, start=1):
         for block_i in range(blocks):
             t = f"layer{stage_i}.{block_i}"
             o = f"layer{stage_i}_{block_i}"
@@ -141,6 +151,12 @@ def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
                 put(params, f"{o}/conv{ci}/kernel",
                     conv_w(state[f"{t}.conv{ci}.weight"]))
                 bn_from_torch(params, stats, f"{o}/bn{ci}", state, f"{t}.bn{ci}")
+            if se:
+                for fc in (1, 2):
+                    put(params, f"{o}/se_fc{fc}/kernel",
+                        conv_w(state[f"{t}.se.fc{fc}.weight"]))
+                    put(params, f"{o}/se_fc{fc}/bias",
+                        np.asarray(state[f"{t}.se.fc{fc}.bias"]))
             if f"{t}.downsample.0.weight" in state:
                 put(params, f"{o}/down_conv/kernel",
                     conv_w(state[f"{t}.downsample.0.weight"]))
@@ -149,11 +165,39 @@ def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-class ResNet50Stages(nn.Module):
-    """torchvision resnet50 sliced into the 4-stage feature contract
-    (/4 256ch, /8 512ch, /16 1024ch, /32 2048ch) — reference
-    pretrained_builder._make_resnet_backbone (pretrained_builder.py:118-130).
-    Same parameter naming as ResNet50Features → convert_resnet50_state fits."""
+def convert_resnet50_state(state: Mapping[str, np.ndarray]) -> dict:
+    """torchvision resnet50 state dict → {'params', 'batch_stats'}."""
+    return convert_bottleneck_stages_state(state, _STAGES)
+
+
+# Per-stage (blocks, bottleneck width, out channels, stride). Depth variants
+# share the torchvision bottleneck; wide_* doubles the 3×3 width
+# (reference families resnet50/101/152, wide_resnet50_2/101_2, seresnet50 —
+# pretrained_builder.py:238-257, 310-314, all sliced by _make_resnet:22-30).
+BOTTLENECK_STAGES = {
+    "resnet50": _STAGES,
+    "resnet101": ((3, 64, 256, 1), (4, 128, 512, 2),
+                  (23, 256, 1024, 2), (3, 512, 2048, 2)),
+    "resnet152": ((3, 64, 256, 1), (8, 128, 512, 2),
+                  (36, 256, 1024, 2), (3, 512, 2048, 2)),
+    "wide_resnet50_2": ((3, 128, 256, 1), (4, 256, 512, 2),
+                        (6, 512, 1024, 2), (3, 1024, 2048, 2)),
+    "wide_resnet101_2": ((3, 128, 256, 1), (4, 256, 512, 2),
+                         (23, 512, 1024, 2), (3, 1024, 2048, 2)),
+    "seresnet50": _STAGES,
+    "resnet26": ((2, 64, 256, 1), (2, 128, 512, 2),
+                 (2, 256, 1024, 2), (2, 512, 2048, 2)),
+}
+
+
+class ResNetBottleneckStages(nn.Module):
+    """torchvision bottleneck ResNets sliced into the 4-stage feature contract
+    (/4, /8, /16, /32; out channels 256·(1,2,4,8)) — reference
+    pretrained_builder._make_resnet (pretrained_builder.py:22-30).
+    Same parameter naming as ResNet50Features → the converters fit."""
+
+    stages: tuple = _STAGES
+    se: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -163,15 +207,20 @@ class ResNet50Stages(nn.Module):
         x = nn.relu(x)
         x = max_pool2d(x, 3, 2, padding=1)
         outs = []
-        for stage_i, (blocks, width, out_c, stride) in enumerate(_STAGES, start=1):
+        for stage_i, (blocks, width, out_c, stride) in enumerate(self.stages,
+                                                                 start=1):
             for block_i in range(blocks):
                 x = Bottleneck(
                     width, out_c,
                     stride=stride if block_i == 0 else 1,
-                    downsample=block_i == 0,
+                    downsample=block_i == 0, se=self.se,
                     name=f"layer{stage_i}_{block_i}")(x, train=train)
             outs.append(x)
         return outs
+
+
+def ResNet50Stages(**kw):
+    return ResNetBottleneckStages(stages=_STAGES, **kw)
 
 
 RESNET18_LAYERS = ((2, 64), (2, 128), (2, 256), (2, 512))

@@ -74,6 +74,41 @@ def _fake_resnet50():
     return state
 
 
+def _fake_bottleneck_resnet(stages, se=False):
+    """torchvision/timm bottleneck family (resnet50/101/152, wide_*,
+    seresnet50) in pretrained naming."""
+    state = {}
+    state["conv1.weight"] = RNG.randn(64, 3, 7, 7).astype(np.float32) * 0.05
+    _bn(state, "bn1", 64)
+    in_c = 64
+    for si, (blocks, width, out_c, _stride) in enumerate(stages, start=1):
+        for bi in range(blocks):
+            t = f"layer{si}.{bi}"
+            state[f"{t}.conv1.weight"] = \
+                RNG.randn(width, in_c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn1", width)
+            state[f"{t}.conv2.weight"] = \
+                RNG.randn(width, width, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn2", width)
+            state[f"{t}.conv3.weight"] = \
+                RNG.randn(out_c, width, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn3", out_c)
+            if se:
+                red = out_c // 16
+                state[f"{t}.se.fc1.weight"] = \
+                    RNG.randn(red, out_c, 1, 1).astype(np.float32) * 0.05
+                state[f"{t}.se.fc1.bias"] = np.zeros(red, np.float32)
+                state[f"{t}.se.fc2.weight"] = \
+                    RNG.randn(out_c, red, 1, 1).astype(np.float32) * 0.05
+                state[f"{t}.se.fc2.bias"] = np.zeros(out_c, np.float32)
+            if bi == 0:
+                state[f"{t}.downsample.0.weight"] = \
+                    RNG.randn(out_c, in_c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{t}.downsample.1", out_c)
+            in_c = out_c
+    return state
+
+
 def _fake_vgg19():
     widths = [64, 64, 128, 128] + [256] * 4 + [512] * 8
     torch_idx = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
@@ -131,14 +166,15 @@ def _fake_resnet34():
     return state
 
 
-def _fake_deit(d=768):
+def _fake_deit(d=768, prefix=2):
     state = {
         "patch_embed.proj.weight": np.zeros((d, 3, 16, 16), np.float32),
         "patch_embed.proj.bias": np.zeros(d, np.float32),
         "cls_token": np.zeros((1, 1, d), np.float32),
-        "dist_token": np.zeros((1, 1, d), np.float32),
-        "pos_embed": np.zeros((1, 2 + 14 * 14, d), np.float32),
+        "pos_embed": np.zeros((1, prefix + 14 * 14, d), np.float32),
     }
+    if prefix == 2:
+        state["dist_token"] = np.zeros((1, 1, d), np.float32)
     for i in range(12):
         s = f"blocks.{i}"
         state[f"{s}.norm1.weight"] = np.ones(d, np.float32)
@@ -156,12 +192,14 @@ def _fake_deit(d=768):
     return state
 
 
-def _fake_efficientnet(se=False):
-    from stylegan3_editing_tpu.models.backbones.efficientnet import _STAGES
-    state = {"conv_stem.weight": np.zeros((32, 3, 3, 3), np.float32)}
-    _bn(state, "bn1", 32)
-    in_c = 32
-    for si, (blocks, k, stride, exp, out) in enumerate(_STAGES):
+def _fake_efficientnet(se=False, stages=None, stem=32):
+    if stages is None:
+        from stylegan3_editing_tpu.models.backbones.efficientnet import _STAGES
+        stages = _STAGES
+    state = {"conv_stem.weight": np.zeros((stem, 3, 3, 3), np.float32)}
+    _bn(state, "bn1", stem)
+    in_c = stem
+    for si, (blocks, k, stride, exp, out) in enumerate(stages):
         for bi in range(blocks):
             s = f"blocks.{si}.{bi}"
             if se:
@@ -221,6 +259,205 @@ def _fake_clip():
     return state
 
 
+def _efficientnet_fabricators():
+    from stylegan3_editing_tpu.models.backbones.efficientnet import (
+        efficientnet_family)
+    fabs = {}
+    for name in ("tf_efficientnet_b1", "tf_efficientnet_b2",
+                 "tf_efficientnet_b3", "tf_efficientnet_b4",
+                 "tf_efficientnet_b0_ns", "tf_efficientnet_lite1",
+                 "tf_efficientnet_lite2", "tf_efficientnet_lite3",
+                 "tf_efficientnet_lite4"):
+        stages, stem, se, _act = efficientnet_family(name)
+        fabs[name] = (lambda _st=stages, _sm=stem, _se=se:
+                      _fake_efficientnet(se=_se, stages=_st, stem=_sm))
+    fabs["efficientnet_b1"] = fabs["tf_efficientnet_b1"]
+    return fabs
+
+
+def _bottleneck_fabricators():
+    from stylegan3_editing_tpu.models.backbones.resnet import BOTTLENECK_STAGES
+    return {
+        name: (lambda _s=stages, _e=name.startswith("seresnet"):
+               _fake_bottleneck_resnet(_s, se=_e))
+        for name, stages in BOTTLENECK_STAGES.items() if name != "resnet50"
+    }
+
+
+def _fake_regnet(name):
+    from stylegan3_editing_tpu.models.backbones.regnet import regnet_stages
+    se = name.startswith("regnety")
+    state = {"stem.conv.weight":
+             RNG.randn(32, 3, 3, 3).astype(np.float32) * 0.05}
+    _bn(state, "stem.bn", 32)
+    c = 32
+    for si, (d, w, groups) in enumerate(regnet_stages(name), start=1):
+        for bi in range(1, d + 1):
+            src = f"s{si}.b{bi}"
+            state[f"{src}.conv1.conv.weight"] = \
+                RNG.randn(w, c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.conv1.bn", w)
+            state[f"{src}.conv2.conv.weight"] = \
+                RNG.randn(w, w // groups, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{src}.conv2.bn", w)
+            if se:
+                red = int(round(c * 0.25))
+                state[f"{src}.se.fc1.weight"] = \
+                    RNG.randn(red, w, 1, 1).astype(np.float32) * 0.05
+                state[f"{src}.se.fc1.bias"] = np.zeros(red, np.float32)
+                state[f"{src}.se.fc2.weight"] = \
+                    RNG.randn(w, red, 1, 1).astype(np.float32) * 0.05
+                state[f"{src}.se.fc2.bias"] = np.zeros(w, np.float32)
+            state[f"{src}.conv3.conv.weight"] = \
+                RNG.randn(w, w, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.conv3.bn", w)
+            if bi == 1:
+                state[f"{src}.downsample.conv.weight"] = \
+                    RNG.randn(w, c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{src}.downsample.bn", w)
+            c = w
+    return state
+
+
+def _fake_vgg_bn(name):
+    from stylegan3_editing_tpu.models.backbones.vgg import VGG_FAMILIES
+    stages, _bn_flag = VGG_FAMILIES[name]
+    state = {}
+    theirs = 0
+    in_c = 3
+    for stage_i, widths in enumerate(stages):
+        if stage_i > 0:
+            theirs += 1  # MaxPool2d
+        for w in widths:
+            state[f"features.{theirs}.weight"] = \
+                RNG.randn(w, in_c, 3, 3).astype(np.float32) * 0.05
+            state[f"features.{theirs}.bias"] = np.zeros(w, np.float32)
+            _bn(state, f"features.{theirs + 1}", w)
+            in_c = w
+            theirs += 3  # Conv2d + BatchNorm2d + ReLU
+    return state
+
+
+def _fake_densenet(blocks):
+    state = {"features.conv0.weight":
+             RNG.randn(64, 3, 7, 7).astype(np.float32) * 0.05}
+    _bn(state, "features.norm0", 64)
+    c = 64
+    for bi, n in enumerate(blocks):
+        for li in range(n):
+            s = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            _bn(state, f"{s}.norm1", c)
+            state[f"{s}.conv1.weight"] = \
+                RNG.randn(128, c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{s}.norm2", 128)
+            state[f"{s}.conv2.weight"] = \
+                RNG.randn(32, 128, 3, 3).astype(np.float32) * 0.05
+            c += 32
+        if bi < 3:
+            _bn(state, f"features.transition{bi + 1}.norm", c)
+            state[f"features.transition{bi + 1}.conv.weight"] = \
+                RNG.randn(c // 2, c, 1, 1).astype(np.float32) * 0.05
+            c //= 2
+        else:
+            _bn(state, "features.norm5", c)
+    return state
+
+
+def _fake_mobilenet_v2():
+    from stylegan3_editing_tpu.models.backbones.mobilenet import MBV2_BLOCKS
+    state = {"features.0.0.weight":
+             RNG.randn(32, 3, 3, 3).astype(np.float32) * 0.05}
+    _bn(state, "features.0.1", 32)
+    c = 32
+    for bi, (t, out, _s) in enumerate(MBV2_BLOCKS, start=1):
+        src = f"features.{bi}.conv"
+        mid = c * t
+        if t == 1:
+            state[f"{src}.0.0.weight"] = \
+                RNG.randn(mid, 1, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{src}.0.1", mid)
+            state[f"{src}.1.weight"] = \
+                RNG.randn(out, mid, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.2", out)
+        else:
+            state[f"{src}.0.0.weight"] = \
+                RNG.randn(mid, c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.0.1", mid)
+            state[f"{src}.1.0.weight"] = \
+                RNG.randn(mid, 1, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{src}.1.1", mid)
+            state[f"{src}.2.weight"] = \
+                RNG.randn(out, mid, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.3", out)
+        c = out
+    return state
+
+
+def _fake_mnasnet(alpha):
+    from stylegan3_editing_tpu.models.backbones.mobilenet import (
+        MNASNET_STACKS, mnasnet_channels)
+    (c_stem, c_sep), outs = mnasnet_channels(alpha)
+    state = {"layers.0.weight":
+             RNG.randn(c_stem, 3, 3, 3).astype(np.float32) * 0.05}
+    _bn(state, "layers.1", c_stem)
+    state["layers.3.weight"] = \
+        RNG.randn(c_stem, 1, 3, 3).astype(np.float32) * 0.05
+    _bn(state, "layers.4", c_stem)
+    state["layers.6.weight"] = \
+        RNG.randn(c_sep, c_stem, 1, 1).astype(np.float32) * 0.05
+    _bn(state, "layers.7", c_sep)
+    c = c_sep
+    for si, ((k, _s, t, _bc, n), out) in enumerate(zip(MNASNET_STACKS, outs)):
+        for bi in range(n):
+            src = f"layers.{8 + si}.{bi}.layers"
+            mid = c * t
+            state[f"{src}.0.weight"] = \
+                RNG.randn(mid, c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.1", mid)
+            state[f"{src}.3.weight"] = \
+                RNG.randn(mid, 1, k, k).astype(np.float32) * 0.05
+            _bn(state, f"{src}.4", mid)
+            state[f"{src}.6.weight"] = \
+                RNG.randn(out, mid, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.7", out)
+            c = out
+    return state
+
+
+def _fake_shufflenet():
+    from stylegan3_editing_tpu.models.backbones.shufflenet import (
+        SHUFFLENET_V2_X0_5)
+    state = {"conv1.0.weight":
+             RNG.randn(24, 3, 3, 3).astype(np.float32) * 0.05}
+    _bn(state, "conv1.1", 24)
+    c = 24
+    for si, (reps, out) in enumerate(SHUFFLENET_V2_X0_5, start=2):
+        half = out // 2
+        for bi in range(reps):
+            src = f"stage{si}.{bi}"
+            if bi == 0:
+                state[f"{src}.branch1.0.weight"] = \
+                    RNG.randn(c, 1, 3, 3).astype(np.float32) * 0.05
+                _bn(state, f"{src}.branch1.1", c)
+                state[f"{src}.branch1.2.weight"] = \
+                    RNG.randn(half, c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{src}.branch1.3", half)
+                b2_in = c
+            else:
+                b2_in = half
+            state[f"{src}.branch2.0.weight"] = \
+                RNG.randn(half, b2_in, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.branch2.1", half)
+            state[f"{src}.branch2.3.weight"] = \
+                RNG.randn(half, 1, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{src}.branch2.4", half)
+            state[f"{src}.branch2.5.weight"] = \
+                RNG.randn(half, half, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{src}.branch2.6", half)
+        c = out
+    return state
+
+
 _FABRICATORS = {
     "vgg16": _fake_vgg16,
     "vgg19": _fake_vgg19,
@@ -231,10 +468,33 @@ _FABRICATORS = {
         ((2, 64), (2, 128), (2, 256), (2, 512))),
     "deit_base_distilled_patch16_224": _fake_deit,
     "deit_small_distilled_patch16_224": lambda: _fake_deit(d=384),
+    "deit_tiny_distilled_patch16_224": lambda: _fake_deit(d=192),
+    "vit_base_patch16_224": lambda: _fake_deit(prefix=1),
     "tf_efficientnet_lite0": _fake_efficientnet,
     "tf_efficientnet_b0": lambda: _fake_efficientnet(se=True),
     "clip_vit_b32": _fake_clip,
+    "densenet121": lambda: _fake_densenet((6, 12, 24, 16)),
+    "densenet169": lambda: _fake_densenet((6, 12, 32, 32)),
+    "densenet201": lambda: _fake_densenet((6, 12, 48, 32)),
+    "mobilenet_v2": _fake_mobilenet_v2,
+    "mnasnet0_5": lambda: _fake_mnasnet(0.5),
+    "mnasnet1_0": lambda: _fake_mnasnet(1.0),
+    "shufflenet_v2_x0_5": _fake_shufflenet,
+    "vgg11_bn": lambda: _fake_vgg_bn("vgg11_bn"),
+    "vgg13_bn": lambda: _fake_vgg_bn("vgg13_bn"),
+    "vgg16_bn": lambda: _fake_vgg_bn("vgg16_bn"),
+    "vgg19_bn": lambda: _fake_vgg_bn("vgg19_bn"),
 }
+_FABRICATORS.update(_bottleneck_fabricators())
+_FABRICATORS.update(_efficientnet_fabricators())
+
+
+def _regnet_fabricators():
+    from stylegan3_editing_tpu.models.backbones.regnet import REGNET_PARAMS
+    return {name: (lambda _n=name: _fake_regnet(_n)) for name in REGNET_PARAMS}
+
+
+_FABRICATORS.update(_regnet_fabricators())
 
 
 def test_registry_has_reference_defaults():
