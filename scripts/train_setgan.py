@@ -43,7 +43,9 @@ class SetGANCliOptions:
     dataset: Optional[str] = None
     data_augmentation: bool = False  # set-consistent flip+rotation aug
     resolution: int = 256
-    total_kimg: int = 10000
+    total_kimg: float = 10000
+    encoder_res: int = 256  # reference --encoder_res (encoder init input)
+    devices: Optional[int] = None  # mesh over first N devices (ref --gpus)
     batch: int = 8
     reference_min: int = 7
     reference_max: int = 12
@@ -233,6 +235,7 @@ def main(opts: SetGANCliOptions):
         total_kimg=opts.total_kimg, batch_size=opts.batch,
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
         tick_kimg=opts.tick_kimg, snapshot_ticks=opts.snapshot_ticks,
+        ref_resolution=opts.encoder_res,
         eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,
         **({"d_backbones": tuple(opts.backbones.split(","))}
            if opts.backbones else {}),
@@ -252,7 +255,11 @@ def main(opts: SetGANCliOptions):
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
                               pl_weight=opts.pl_weight))
-    trainer = SetGANTrainer(cfg, decoder_cfg, run_dir=str(run_dir),
+    mesh = None
+    if opts.devices:
+        from stylegan3_editing_tpu.parallel import create_mesh
+        mesh = create_mesh(devices=_jax.devices()[:opts.devices])
+    trainer = SetGANTrainer(cfg, decoder_cfg, mesh=mesh, run_dir=str(run_dir),
                             generator_variables=gen_vars,
                             stem_variables=stem_vars,
                             encoder_variables=enc_vars)

@@ -42,7 +42,7 @@ from .model import SetGAN, to_set
 
 @dataclasses.dataclass
 class SetGANTrainConfig:
-    total_kimg: int = 10000
+    total_kimg: float = 10000
     batch_size: int = 8  # global batch (candidate sets per step)
     g_lr: float = 0.0025
     d_lr: float = 0.002

@@ -387,6 +387,51 @@ def test_setgan_superres_head_only_training(class_folder, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_setgan_cli_stem_then_superres(class_folder, tmp_path):
+    """End-to-end CLI: a tiny stem run writes its final snapshot (with the
+    decoder architecture in meta), then a --superres run grows from it
+    (reference progressive recipe: scripts/train_setgan_{stem,superres}.sh)."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "train_setgan_cli2",
+        str(Path(__file__).parent.parent / "scripts" / "train_setgan.py"))
+    cli = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = cli
+    spec.loader.exec_module(cli)
+
+    common = dict(
+        data=str(class_folder), batch=2, devices=2, encoder_res=32,
+        reference_min=2, reference_max=3, candidate_min=1, candidate_max=2,
+        backbones="vgg16_proj", cbase=512, cmax=32, syn_layers=4,
+        tick_kimg=0.002, snapshot_ticks=1, eval_ticks=10 ** 6,
+        fid_classes=2, fid_items_per_class=4, seed=0)
+
+    stem_dir = tmp_path / "stem"
+    cli.main(cli.SetGANCliOptions(outdir=str(stem_dir), resolution=32,
+                                  total_kimg=0.004, **common))
+    assert (stem_dir / "final.json").exists()
+    with open(stem_dir / "final.json") as f:
+        meta = json.load(f)
+    assert meta["decoder_cfg"]["img_resolution"] == 32
+
+    sup_dir = tmp_path / "superres"
+    cli.main(cli.SetGANCliOptions(outdir=str(sup_dir), resolution=64,
+                                  total_kimg=0.002, superres=True,
+                                  head_layers=2,
+                                  path_stem=str(stem_dir / "final"),
+                                  **common))
+    with open(sup_dir / "final.json") as f:
+        meta = json.load(f)
+    assert meta["decoder_cfg"]["img_resolution"] == 64
+    assert meta["cfg"]["train_head_only"] is True
+    assert meta["cfg"]["head_layer_names"]
+
+
+@pytest.mark.slow
 def test_setgan_pretrained_phase_freezes_encoder_and_decoder(tmp_path):
     """'Pretrained' phase (reference scripts/train_setgan_pretrained.sh:
     --use_pretrained --freeze_encoder --freeze_decoder): a pretrained
