@@ -21,11 +21,11 @@ discriminator resolves ``--backbones`` names through this registry
 Coverage vs the reference's ALL_MODELS (constants.py:110): every VGG/BN-VGG,
 DenseNet, ResNet depth/width/SE, shufflenet/mobilenet/mnasnet, the full
 RegNetX/Y ladder, EfficientNet b0-b4/ns/lite0-4, DeiT tiny/small/base,
-vit_base, CLIP-ViT — ~65 names. Not ported (each is one ``register()`` away;
-the reference builder cannot construct `inception_v3`/`revnet` at all):
-ghostnet/cspresnet/fbnetc/spnasnet/mixnet/vovnet/res2next/gernet/repvgg/
-nfnet one-offs, efficientnetv2 + pruned variants, resnet26d/50d/blur/rs,
-resnet50_clip.
+vit_base, CLIP ViT + RN50, resnet26d/50d deep-stem variants — ~68 names.
+Not ported (each is one ``register()`` away; the reference builder cannot
+construct `inception_v3`/`revnet` at all): ghostnet/cspresnet/fbnetc/
+spnasnet/mixnet/vovnet/res2next/gernet/repvgg/nfnet one-offs,
+efficientnetv2 + pruned variants, resnetblur50/resnetrs50.
 """
 
 from __future__ import annotations
@@ -196,6 +196,19 @@ def _register_defaults():
                      lambda state: convert_bottleneck_stages_state(
                          state, _s, se=_e)))(),
                  (256, 512, 1024, 2048))
+    # timm -d variants: deep 3x3 stem + avg-pool downsample
+    # (reference resnet26d/resnet50d, constants.py:25-26).
+    for _name, _base in (("resnet26d", "resnet26"), ("resnet50d", "resnet50")):
+        _stages = BOTTLENECK_STAGES[_base]
+        register(_name,
+                 (lambda _s=_stages: (
+                     lambda **kw: ResNetBottleneckStages(
+                         stages=_s, deep_stem=True, avg_down=True, **kw)))(),
+                 IMAGENET_MEAN, IMAGENET_STD,
+                 (lambda _s=_stages: (
+                     lambda state: convert_bottleneck_stages_state(
+                         state, _s)))(),
+                 (256, 512, 1024, 2048))
     register("resnet34", ResNet34Stages, IMAGENET_MEAN, IMAGENET_STD,
              convert_resnet34_state, (64, 128, 256, 512))
     register("resnet18", ResNet18Stages, IMAGENET_MEAN, IMAGENET_STD,
@@ -249,6 +262,11 @@ def _register_defaults():
     # pretrained_builder.py:131-195).
     register("clip_vit_b32", CLIPViTStages, CLIP_MEAN, CLIP_STD,
              _convert_clip_visual, (96, 192, 384, 768))
+    # CLIP RN50 visual trunk (reference 'resnet50_clip',
+    # pretrained_builder.py:402-404).
+    from .clip_resnet import CLIPResNet50Stages, convert_clip_resnet_state
+    register("resnet50_clip", CLIPResNet50Stages, CLIP_MEAN, CLIP_STD,
+             convert_clip_resnet_state, (256, 512, 1024, 2048))
 
 
 def _convert_clip_visual(state: Mapping[str, np.ndarray]) -> dict:

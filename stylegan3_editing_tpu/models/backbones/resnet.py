@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.image import max_pool2d
+from ...ops.image import avg_pool2d, max_pool2d
 from .common import BatchNorm, bn_from_torch, conv_w, put
 
 _STAGES = ((3, 64, 256, 1), (4, 128, 512, 2), (6, 256, 1024, 2), (3, 512, 2048, 2))
@@ -26,6 +26,7 @@ class Bottleneck(nn.Module):
     stride: int
     downsample: bool
     se: bool = False  # timm seresnet: SE (reduction 16) before the residual add
+    avg_down: bool = False  # timm -d variants: AvgPool2d + 1x1 s1 downsample
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -46,8 +47,16 @@ class Bottleneck(nn.Module):
             s = nn.Conv(self.out_channels, (1, 1), name="se_fc2")(s)
             y = y * nn.sigmoid(s)
         if self.downsample:
-            identity = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
-                               use_bias=False, name="down_conv")(x)
+            identity = x
+            if self.avg_down:
+                if self.stride > 1:
+                    identity = avg_pool2d(identity, 2, self.stride)
+                identity = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                                   name="down_conv")(identity)
+            else:
+                identity = nn.Conv(self.out_channels, (1, 1),
+                                   strides=self.stride, use_bias=False,
+                                   name="down_conv")(identity)
             identity = BatchNorm(name="down_bn")(identity, train=train)
         return nn.relu(y + identity)
 
@@ -138,11 +147,21 @@ def convert_bottleneck_stages_state(state: Mapping[str, np.ndarray],
                                     stages=_STAGES, se: bool = False) -> dict:
     """torchvision/timm bottleneck-ResNet state dict → {'params',
     'batch_stats'} for any BOTTLENECK_STAGES family (timm seresnet50 keeps
-    its SE convs under `layerN.M.se.fc{1,2}`)."""
+    its SE convs under `layerN.M.se.fc{1,2}`; -d variants use the deep
+    `conv1.{0,3,6}` stem and `downsample.{1,2}` avg-pool layout)."""
     params: dict = {}
     stats: dict = {}
-    put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
-    bn_from_torch(params, stats, "bn1", state, "bn1")
+    if "conv1.0.weight" in state:  # deep stem (timm resnet26d/50d)
+        for i, src in enumerate((0, 3)):
+            put(params, f"conv1_{i}/kernel",
+                conv_w(state[f"conv1.{src}.weight"]))
+            bn_from_torch(params, stats, f"bn1_{i}", state,
+                          f"conv1.{src + 1}")
+        put(params, "conv1_2/kernel", conv_w(state["conv1.6.weight"]))
+        bn_from_torch(params, stats, "bn1", state, "bn1")
+    else:
+        put(params, "conv1/kernel", conv_w(state["conv1.weight"]))
+        bn_from_torch(params, stats, "bn1", state, "bn1")
     for stage_i, (blocks, _, _, _) in enumerate(stages, start=1):
         for block_i in range(blocks):
             t = f"layer{stage_i}.{block_i}"
@@ -162,6 +181,11 @@ def convert_bottleneck_stages_state(state: Mapping[str, np.ndarray],
                     conv_w(state[f"{t}.downsample.0.weight"]))
                 bn_from_torch(params, stats, f"{o}/down_bn", state,
                               f"{t}.downsample.1")
+            elif f"{t}.downsample.1.weight" in state:  # avg_down layout
+                put(params, f"{o}/down_conv/kernel",
+                    conv_w(state[f"{t}.downsample.1.weight"]))
+                bn_from_torch(params, stats, f"{o}/down_bn", state,
+                              f"{t}.downsample.2")
     return {"params": params, "batch_stats": stats}
 
 
@@ -198,13 +222,24 @@ class ResNetBottleneckStages(nn.Module):
 
     stages: tuple = _STAGES
     se: bool = False
+    deep_stem: bool = False  # timm -d variants: 3x3 conv triplet stem (32,32,64)
+    avg_down: bool = False   # timm -d variants: AvgPool in the downsample path
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
-        x = BatchNorm(name="bn1")(x, train=train)
-        x = nn.relu(x)
+        if self.deep_stem:
+            for i, w in enumerate((32, 32, 64)):
+                x = nn.Conv(w, (3, 3), strides=2 if i == 0 else 1, padding=1,
+                            use_bias=False, name=f"conv1_{i}")(x)
+                if i < 2:
+                    x = nn.relu(BatchNorm(name=f"bn1_{i}")(x, train=train))
+            x = BatchNorm(name="bn1")(x, train=train)
+            x = nn.relu(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        name="conv1")(x)
+            x = BatchNorm(name="bn1")(x, train=train)
+            x = nn.relu(x)
         x = max_pool2d(x, 3, 2, padding=1)
         outs = []
         for stage_i, (blocks, width, out_c, stride) in enumerate(self.stages,
@@ -214,6 +249,7 @@ class ResNetBottleneckStages(nn.Module):
                     width, out_c,
                     stride=stride if block_i == 0 else 1,
                     downsample=block_i == 0, se=self.se,
+                    avg_down=self.avg_down,
                     name=f"layer{stage_i}_{block_i}")(x, train=train)
             outs.append(x)
         return outs

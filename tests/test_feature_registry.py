@@ -277,11 +277,77 @@ def _efficientnet_fabricators():
 
 def _bottleneck_fabricators():
     from stylegan3_editing_tpu.models.backbones.resnet import BOTTLENECK_STAGES
-    return {
+    fabs = {
         name: (lambda _s=stages, _e=name.startswith("seresnet"):
                _fake_bottleneck_resnet(_s, se=_e))
         for name, stages in BOTTLENECK_STAGES.items() if name != "resnet50"
     }
+    for name, base in (("resnet26d", "resnet26"), ("resnet50d", "resnet50")):
+        fabs[name] = (lambda _s=BOTTLENECK_STAGES[base]: _fake_d_resnet(_s))
+    return fabs
+
+
+def _fake_d_resnet(stages):
+    """timm resnet26d/50d naming: deep conv1.{0,3,6} stem, downsample.{1,2}."""
+    state = {}
+    in_c = 3
+    for src, w in ((0, 32), (3, 32), (6, 64)):
+        state[f"conv1.{src}.weight"] = \
+            RNG.randn(w, in_c, 3, 3).astype(np.float32) * 0.05
+        if src < 6:
+            _bn(state, f"conv1.{src + 1}", w)
+        in_c = w
+    _bn(state, "bn1", 64)
+    for si, (blocks, width, out_c, _stride) in enumerate(stages, start=1):
+        for bi in range(blocks):
+            t = f"layer{si}.{bi}"
+            state[f"{t}.conv1.weight"] = \
+                RNG.randn(width, in_c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn1", width)
+            state[f"{t}.conv2.weight"] = \
+                RNG.randn(width, width, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn2", width)
+            state[f"{t}.conv3.weight"] = \
+                RNG.randn(out_c, width, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn3", out_c)
+            if bi == 0:
+                state[f"{t}.downsample.1.weight"] = \
+                    RNG.randn(out_c, in_c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{t}.downsample.2", out_c)
+            in_c = out_c
+    return state
+
+
+def _fake_clip_resnet():
+    state = {}
+    widths = (32, 32, 64)
+    in_c = 3
+    for i, w in enumerate(widths, start=1):
+        state[f"visual.conv{i}.weight"] = \
+            RNG.randn(w, in_c, 3, 3).astype(np.float32) * 0.05
+        _bn(state, f"visual.bn{i}", w)
+        in_c = w
+    c = 64
+    for li, n in enumerate((3, 4, 6, 3), start=1):
+        planes = 64 * (2 ** (li - 1))
+        out_c = planes * 4
+        for bi in range(n):
+            t = f"visual.layer{li}.{bi}"
+            state[f"{t}.conv1.weight"] = \
+                RNG.randn(planes, c, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn1", planes)
+            state[f"{t}.conv2.weight"] = \
+                RNG.randn(planes, planes, 3, 3).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn2", planes)
+            state[f"{t}.conv3.weight"] = \
+                RNG.randn(out_c, planes, 1, 1).astype(np.float32) * 0.05
+            _bn(state, f"{t}.bn3", out_c)
+            if bi == 0:
+                state[f"{t}.downsample.0.weight"] = \
+                    RNG.randn(out_c, c, 1, 1).astype(np.float32) * 0.05
+                _bn(state, f"{t}.downsample.1", out_c)
+            c = out_c
+    return state
 
 
 def _fake_regnet(name):
@@ -473,6 +539,7 @@ _FABRICATORS = {
     "tf_efficientnet_lite0": _fake_efficientnet,
     "tf_efficientnet_b0": lambda: _fake_efficientnet(se=True),
     "clip_vit_b32": _fake_clip,
+    "resnet50_clip": _fake_clip_resnet,
     "densenet121": lambda: _fake_densenet((6, 12, 24, 16)),
     "densenet169": lambda: _fake_densenet((6, 12, 32, 32)),
     "densenet201": lambda: _fake_densenet((6, 12, 48, 32)),
