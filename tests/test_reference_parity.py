@@ -205,3 +205,56 @@ def _merge_trees(dst, src):
                                                      np.shape(v))
             out[k] = v
     return out
+
+
+def test_clip_resnet50_parity_with_reference():
+    """Our CLIP ModifiedResNet-50 trunk vs the reference's vendored torch
+    implementation (clip/model.py:10-133) with randomized weights AND
+    batch-norm statistics, sliced exactly as `_make_resnet_clip`
+    (pretrained_builder.py:60-82): stage outputs must match at every one
+    of the 4 feature taps."""
+    torch = pytest.importorskip("torch")
+    import importlib.util
+
+    path = os.path.join(
+        REF, "models/styleganxl/feature_networks/clip/model.py")
+    spec = importlib.util.spec_from_file_location("ref_clip_model", path)
+    ref_clip = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_clip)
+
+    torch.manual_seed(0)
+    m = ref_clip.ModifiedResNet(layers=(3, 4, 6, 3), output_dim=128,
+                                heads=4, input_resolution=64).eval()
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for name, b in m.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=gen) + 0.5)
+
+    x_np = np.random.RandomState(2).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t = torch.from_numpy(x_np)
+        for conv, bn in ((m.conv1, m.bn1), (m.conv2, m.bn2),
+                         (m.conv3, m.bn3)):
+            t = m.relu(bn(conv(t)))
+        t = m.avgpool(t)
+        want = []
+        for layer in (m.layer1, m.layer2, m.layer3, m.layer4):
+            t = layer(t)
+            want.append(t.numpy().transpose(0, 2, 3, 1))
+
+    from stylegan3_editing_tpu.models.backbones.clip_resnet import (
+        CLIPResNet50Stages, convert_clip_resnet_state)
+
+    state = {k: v.detach().numpy() for k, v in m.state_dict().items()
+             if not k.startswith("attnpool.")}
+    variables = convert_clip_resnet_state(state)
+    got = CLIPResNet50Stages().apply(
+        variables, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+    assert len(got) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=2e-4, atol=2e-4)
