@@ -91,14 +91,14 @@ class SetAttentionBlock(nn.Module):
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
         x = q + a
         if self.ln:
-            x = nn.LayerNorm(name="ln0")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln0")(x)
         f = nn.Dense(self.hidden_size, name="fc1")(x)
         f = act(f)
         f = nn.Dense(self.latent_size, name="fc2")(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
         x = x + f
         if self.ln:
-            x = nn.LayerNorm(name="ln1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         return x
 
 
@@ -140,21 +140,21 @@ class SetDecoderBlock(nn.Module):
             a1 = nn.Dropout(self.dropout, deterministic=not train)(a1)
             x = q + a1
             if self.ln:
-                x = nn.LayerNorm(name="ln0")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name="ln0")(x)
         a2 = MHA(self.latent_size, self.num_heads,
                  use_temperature=self.use_temperature, name="attn2")(
             x, k, mask=mask)
         a2 = nn.Dropout(self.dropout, deterministic=not train)(a2)
         x = x + a2
         if self.ln:
-            x = nn.LayerNorm(name="ln1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         f = nn.Dense(self.hidden_size, name="fc1")(x)
         f = act(f)
         f = nn.Dense(self.latent_size, name="fc2")(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
         x = x + f
         if self.ln:
-            x = nn.LayerNorm(name="ln2")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         return x
 
 
@@ -247,8 +247,8 @@ class MultiSetAttentionBlock(nn.Module):
         y_m = nn.Dropout(self.dropout, deterministic=not train)(y_m)
         x_out, y_out = x + x_m, y + y_m
         if self.ln:
-            x_out = nn.LayerNorm(name="ln_x")(x_out)
-            y_out = nn.LayerNorm(name="ln_y")(y_out)
+            x_out = nn.LayerNorm(epsilon=1e-5, name="ln_x")(x_out)
+            y_out = nn.LayerNorm(epsilon=1e-5, name="ln_y")(y_out)
         return x_out, y_out
 
 

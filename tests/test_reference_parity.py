@@ -258,3 +258,282 @@ def test_clip_resnet50_parity_with_reference():
     assert len(got) == 4
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, rtol=2e-4, atol=2e-4)
+
+
+# --- set transformer parity (reference models/setgan/set.py) -------------
+
+def _load_ref_set_module():
+    """Load the reference's set.py standalone (its only intra-repo import,
+    setgan.utils.masked_softmax, is provided via a stub module so we don't
+    drag in the reference's full setgan package)."""
+    import importlib.util
+    import types
+
+    torch = pytest.importorskip("torch")
+    if "setgan" not in sys.modules or not hasattr(
+            sys.modules.get("setgan.utils", None), "masked_softmax"):
+        pkg = types.ModuleType("setgan")
+        utils = types.ModuleType("setgan.utils")
+
+        def masked_softmax(x, mask, dim=-1, eps=1e-8):
+            x = x - x.max(dim=dim, keepdim=True)[0]
+            x = x.masked_fill(mask == 0, -float("inf"))
+            e = torch.exp(x)
+            return e / (e.sum(dim=dim, keepdim=True) + eps)
+
+        utils.masked_softmax = masked_softmax
+        pkg.utils = utils
+        sys.modules["setgan"] = pkg
+        sys.modules["setgan.utils"] = utils
+    path = os.path.join(REF, "models/setgan/set.py")
+    spec = importlib.util.spec_from_file_location("ref_set", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return torch, mod
+
+
+def _t_lin(state, name):
+    p = {"kernel": np.asarray(state[f"{name}.weight"]).T}
+    if f"{name}.bias" in state:
+        p["bias"] = np.asarray(state[f"{name}.bias"])
+    return p
+
+
+def _t_ln(state, name):
+    return {"scale": np.asarray(state[f"{name}.weight"]),
+            "bias": np.asarray(state[f"{name}.bias"])}
+
+
+def _t_mha(state, pfx, use_temperature=False):
+    out = {w: _t_lin(state, f"{pfx}.{w}") for w in
+           ("w_q", "w_k", "w_v", "w_o")}
+    if use_temperature:
+        out["temperature"] = np.asarray(state[f"{pfx}.temperature"])
+    return out
+
+
+def _t_sab(state, pfx):
+    return {"attn": _t_mha(state, f"{pfx}.attn"),
+            "fc1": _t_lin(state, f"{pfx}.fc.0"),
+            "fc2": _t_lin(state, f"{pfx}.fc.2"),
+            "ln0": _t_ln(state, f"{pfx}.ln0"),
+            "ln1": _t_ln(state, f"{pfx}.ln1")}
+
+
+def test_set_transformer_encoder_parity_with_reference():
+    """SetTransformerEncoder vs reference set.py:126 with converted
+    weights, both unmasked and with a key mask (the reference scales
+    logits by sqrt(latent_size), not sqrt(head_dim) — set.py:34)."""
+    torch, ref = _load_ref_set_module()
+    from stylegan3_editing_tpu.setgan.set_transformer import (
+        SetTransformerEncoder)
+
+    din, dlat, dhid, heads, blocks = 12, 16, 32, 4, 2
+    torch.manual_seed(0)
+    tenc = ref.SetTransformerEncoder(din, dlat, dhid, heads, blocks,
+                                     ln=True, dropout=0).eval()
+    state = {k: v.detach().numpy() for k, v in tenc.state_dict().items()}
+
+    params = {"proj": _t_lin(state, "proj")}
+    for i in range(blocks):
+        params[f"block_{i}"] = {"attn": _t_sab(state, f"block_{i}.attn")}
+
+    enc = SetTransformerEncoder(din, dlat, dhid, heads, blocks,
+                                ln=True, dropout=0.0)
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 5, din).astype(np.float32)
+
+    with torch.no_grad():
+        want = tenc(torch.from_numpy(x)).numpy()
+    got = enc.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # Masked: last two keys of every set invalid.
+    mask = np.ones((3, 5, 5), bool)
+    mask[:, :, 3:] = False
+    with torch.no_grad():
+        want_m = tenc(torch.from_numpy(x),
+                      mask=torch.from_numpy(mask)).numpy()
+    got_m = enc.apply({"params": params}, jnp.asarray(x),
+                      mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got_m), want_m,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_set_transformer_decoder_parity_with_reference():
+    """SetTransformerDecoder (self-attn + temperature-scaled MHA) vs
+    reference set.py:141 with converted weights."""
+    torch, ref = _load_ref_set_module()
+    from stylegan3_editing_tpu.setgan.set_transformer import (
+        SetTransformerDecoder)
+
+    din, dlat, dhid, denc, heads, blocks = 16, 16, 32, 16, 4, 2
+    torch.manual_seed(0)
+    tdec = ref.SetTransformerDecoder(
+        din, dlat, dhid, denc, heads, blocks, ln=True, dropout=0,
+        self_attn=True, use_temperature=True).eval()
+    with torch.no_grad():  # make the learned temperatures non-trivial
+        for name, p in tdec.named_parameters():
+            if name.endswith("temperature"):
+                p.fill_(1.7)
+    state = {k: v.detach().numpy() for k, v in tdec.state_dict().items()}
+
+    params = {}
+    for i in range(blocks):
+        pfx = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "attn1": _t_mha(state, f"{pfx}.attn1", use_temperature=True),
+            "attn2": _t_mha(state, f"{pfx}.attn2", use_temperature=True),
+            "fc1": _t_lin(state, f"{pfx}.fc.0"),
+            "fc2": _t_lin(state, f"{pfx}.fc.2"),
+            "ln0": _t_ln(state, f"{pfx}.ln0"),
+            "ln1": _t_ln(state, f"{pfx}.ln1"),
+            "ln2": _t_ln(state, f"{pfx}.ln2"),
+        }
+
+    dec = SetTransformerDecoder(din, dlat, dhid, heads, blocks, ln=True,
+                                dropout=0.0, self_attn=True,
+                                use_temperature=True)
+    rng = np.random.RandomState(2)
+    q = rng.randn(3, 4, din).astype(np.float32)
+    k = rng.randn(3, 6, denc).astype(np.float32)
+
+    with torch.no_grad():
+        want = tdec(torch.from_numpy(q), torch.from_numpy(k)).numpy()
+    got = dec.apply({"params": params}, jnp.asarray(q), jnp.asarray(k))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("sharing", ["none", "cross", "sym"])
+def test_multiset_encoder_parity_with_reference(sharing):
+    """MultiSetTransformerEncoder (the set discriminator's core — joint
+    self/cross attention over reference and candidate sets, set.py:169-256)
+    vs the reference with converted weights, per weight-sharing mode."""
+    torch, ref = _load_ref_set_module()
+    from stylegan3_editing_tpu.setgan.set_transformer import (
+        MultiSetTransformerEncoder)
+
+    xs, dlat, dhid, heads, blocks = 10, 16, 32, 4, 2
+    torch.manual_seed(0)
+    tenc = ref.MultiSetTransformerEncoder(
+        xs, xs, dlat, dhid, heads, blocks, weight_sharing=sharing,
+        ln=True, dropout=0).eval()
+    state = {k: v.detach().numpy() for k, v in tenc.state_dict().items()}
+
+    params = {"proj_x": _t_lin(state, "proj_x"),
+              "proj_y": _t_lin(state, "proj_y")}
+    mab_names = {  # ref attr name → our module name
+        "none": {"MAB_XX": "MAB_XX", "MAB_YY": "MAB_YY",
+                 "MAB_XY": "MAB_XY", "MAB_YX": "MAB_YX"},
+        "cross": {"MAB_XX": "MAB_XX", "MAB_YY": "MAB_YY",
+                  "MAB_XY": "MAB_cross"},
+        "sym": {"MAB_XX": "MAB_self", "MAB_XY": "MAB_cross"},
+    }[sharing]
+    for i in range(blocks):
+        blk = {ours: _t_sab(state, f"blocks.{i}.{theirs}")
+               for theirs, ours in mab_names.items()}
+        blk["fc_X"] = _t_lin(state, f"blocks.{i}.fc_X")
+        blk["fc_Y"] = _t_lin(state, f"blocks.{i}.fc_Y")
+        blk["ln_x"] = _t_ln(state, f"blocks.{i}.ln_x")
+        blk["ln_y"] = _t_ln(state, f"blocks.{i}.ln_y")
+        params[f"block_{i}"] = blk
+
+    enc = MultiSetTransformerEncoder(xs, xs, dlat, dhid, heads, blocks,
+                                     weight_sharing=sharing, ln=True,
+                                     dropout=0.0)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, xs).astype(np.float32)
+    y = rng.randn(2, 7, xs).astype(np.float32)
+
+    with torch.no_grad():
+        want_x, want_y = tenc(torch.from_numpy(x), torch.from_numpy(y))
+    got_x, got_y = enc.apply({"params": params}, jnp.asarray(x),
+                             jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(got_x), want_x.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_y), want_y.numpy(),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _t_decoder_params(state, blocks, pfx="blocks", use_temperature=True):
+    out = {}
+    for i in range(blocks):
+        out[f"block_{i}"] = {
+            "attn1": _t_mha(state, f"{pfx}.{i}.attn1",
+                            use_temperature=use_temperature),
+            "attn2": _t_mha(state, f"{pfx}.{i}.attn2",
+                            use_temperature=use_temperature),
+            "fc1": _t_lin(state, f"{pfx}.{i}.fc.0"),
+            "fc2": _t_lin(state, f"{pfx}.{i}.fc.2"),
+            "ln0": _t_ln(state, f"{pfx}.{i}.ln0"),
+            "ln1": _t_ln(state, f"{pfx}.{i}.ln1"),
+            "ln2": _t_ln(state, f"{pfx}.{i}.ln2"),
+        }
+    return out
+
+
+def test_style_attention_parity_with_reference():
+    """StyleAttention vs the reference composition (setgan.py:22-56): per
+    style index, a temperature-scaled SetTransformerDecoder attends the
+    mapped noise styles (queries) to the reference-set codes (keys), then
+    [out | style] is projected by a FullyConnectedLayer whose weight starts
+    as [N(0,0.2) | I]. The reference module itself can't be imported here
+    (its encoder deps need torchvision + CUDA extension builds), so the
+    oracle composes the same two reference layers per setgan.py:44-56."""
+    torch, ref = _load_ref_set_module()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.stylegan3.networks_stylegan3 import FullyConnectedLayer
+
+    from stylegan3_editing_tpu.setgan.model import StyleAttention
+
+    n_styles, latent, heads, layers = 3, 16, 4, 2
+    torch.manual_seed(0)
+    attns, fcs = [], []
+    for _ in range(n_styles):
+        attns.append(ref.SetTransformerDecoder(
+            latent, latent, latent * 2, latent, heads, layers, ln=True,
+            activation_fct=torch.nn.LeakyReLU, self_attn=True, dropout=0,
+            use_temperature=True).eval())
+        fc = FullyConnectedLayer(latent * 2, latent)
+        with torch.no_grad():  # reference init, setgan.py:40-43
+            torch.nn.init.normal_(fc.weight[:, :latent], std=0.2)
+            torch.nn.init.eye_(fc.weight[:, latent:])
+        fcs.append(fc.eval())
+    for m in attns:  # non-trivial learned temperatures
+        with torch.no_grad():
+            for name, p in m.named_parameters():
+                if name.endswith("temperature"):
+                    p.fill_(1.4)
+
+    params = {}
+    for i in range(n_styles):
+        state = {k: v.detach().numpy()
+                 for k, v in attns[i].state_dict().items()}
+        params[f"attn_{i}"] = _t_decoder_params(state, layers)
+        params[f"style_concat_{i}"] = {
+            "weight": fcs[i].weight.detach().numpy(),
+            "bias": fcs[i].bias.detach().numpy()}
+
+    rng = np.random.RandomState(5)
+    codes = rng.randn(2, 5, n_styles, latent).astype(np.float32)  # [B,R,S,D]
+    styles = rng.randn(2, 4, n_styles, latent).astype(np.float32)  # [B,C,S,D]
+
+    # Reference forward, setgan.py:44-56 (z=codes, s=styles).
+    z, s = torch.from_numpy(codes), torch.from_numpy(styles)
+    want = []
+    with torch.no_grad():
+        for i in range(n_styles):
+            out_i = attns[i](s[:, :, i], z[:, :, i])
+            out_i = torch.cat([out_i, s[:, :, i]], dim=-1)
+            out_i = fcs[i](out_i.view(-1, out_i.size(-1))).view(
+                *out_i.size()[:-1], -1)
+            want.append(out_i)
+        want = torch.stack(want, dim=2).numpy()
+
+    sa = StyleAttention(n_styles=n_styles, latent=latent, n_heads=heads,
+                        attn_layers=layers, use_set_decoder=True,
+                        use_temperature=True)
+    got = sa.apply({"params": params}, jnp.asarray(codes),
+                   jnp.asarray(styles))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
