@@ -66,17 +66,24 @@ class FeatureNetworkSpec:
     channels: Tuple[int, int, int, int]
     # True when `convert` output nests under a "net" child (SlicedStages).
     nested: bool = False
+    # ViT families take a fixed input size (their token grid is baked into
+    # the positional embedding); the discriminator resizes inputs to this
+    # even when interp224 is off — reference `self.interp224 or bb_name in
+    # VITS` (models/setgan/discriminator.py:225-227).
+    fixed_input_res: Optional[int] = None
 
 
 _REGISTRY: Dict[str, FeatureNetworkSpec] = {}
 
 
 def register(name: str, make, mean, std, convert, channels,
-             nested: bool = False) -> None:
+             nested: bool = False,
+             fixed_input_res: Optional[int] = None) -> None:
     _REGISTRY[name] = FeatureNetworkSpec(
         name=name, make=make, mean=np.asarray(mean, np.float32),
         std=np.asarray(std, np.float32), convert=convert,
-        channels=tuple(channels), nested=nested)
+        channels=tuple(channels), nested=nested,
+        fixed_input_res=fixed_input_res)
 
 
 def available() -> List[str]:
@@ -132,7 +139,7 @@ def _register_defaults():
     # Reference defaults (train_setgan.py:223-240).
     register("deit_base_distilled_patch16_224", DeiTFeatures,
              IMAGENET_MEAN, IMAGENET_STD, convert_deit,
-             (96, 192, 384, 768))
+             (96, 192, 384, 768), fixed_input_res=224)
     register("tf_efficientnet_lite0", EfficientNetLite0Features,
              INCEPTION_MEAN, INCEPTION_STD, convert_efficientnet_lite0,
              (24, 40, 112, 320))
@@ -162,14 +169,14 @@ def _register_defaults():
              _convert, _channels)
     register("deit_small_distilled_patch16_224", DeiTSmallFeatures,
              IMAGENET_MEAN, IMAGENET_STD, convert_deit,
-             (48, 96, 192, 384))
+             (48, 96, 192, 384), fixed_input_res=224)
     register("deit_tiny_distilled_patch16_224", DeiTTinyFeatures,
              IMAGENET_MEAN, IMAGENET_STD, convert_deit,
-             (24, 48, 96, 192))
+             (24, 48, 96, 192), fixed_input_res=224)
     # Plain ViT: INCEPTION stats (constants.py VITS_INCEPTION).
     register("vit_base_patch16_224", ViTBaseFeatures,
              INCEPTION_MEAN, INCEPTION_STD, convert_deit,
-             (96, 192, 384, 768))
+             (96, 192, 384, 768), fixed_input_res=224)
     # Conv families.
     register("vgg16",
              lambda **kw: SlicedStages(VGG16Features, take=(1, 2, 3, 4), **kw),
@@ -261,7 +268,7 @@ def _register_defaults():
     # ViT family via the CLIP visual trunk (reference vit_* families,
     # pretrained_builder.py:131-195).
     register("clip_vit_b32", CLIPViTStages, CLIP_MEAN, CLIP_STD,
-             _convert_clip_visual, (96, 192, 384, 768))
+             _convert_clip_visual, (96, 192, 384, 768), fixed_input_res=224)
     # CLIP RN50 visual trunk (reference 'resnet50_clip',
     # pretrained_builder.py:402-404).
     from .clip_resnet import CLIPResNet50Stages, convert_clip_resnet_state

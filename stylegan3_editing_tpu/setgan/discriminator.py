@@ -58,6 +58,14 @@ def resolve_backbone(name: str):
     return spec.make, spec.mean, spec.std
 
 
+def backbone_fixed_res(name: str) -> Optional[int]:
+    """ViT families need a fixed input size regardless of interp224
+    (reference `self.interp224 or bb_name in VITS`, discriminator.py:225)."""
+    if name in BACKBONES:
+        return None
+    return fn_registry.get_spec(name).fixed_input_res
+
+
 class FeatureProjector(nn.Module):
     """Frozen backbone stages → random CCM (1×1) + CSM (top-down fusion).
 
@@ -132,11 +140,17 @@ class SingleDisc(nn.Module):
 
 class MultiSetComparator(nn.Module):
     """Reference-set vs candidate-set scorer: joint multiset encoder →
-    masked-mean pooling → MLP → one logit per batch element."""
+    pooling → interaction head [ZX | ZY | ZX·ZY] → logit per batch element
+    (reference MultiSetModel.forward, set.py:343-374, with the
+    discriminator's kwargs — pooling='mean', decoder_layers=0,
+    discriminator.py:96-107). Pooling is masked-mean when set masks are
+    given (our padded-set extension; the reference pads to fixed sizes)."""
 
     latent_size: int = 512
     num_heads: int = 4
     num_blocks: int = 2
+    pooling: str = "mean"  # 'mean' | 'pma' | 'max'
+    decoder_layers: int = 0
 
     @nn.compact
     def __call__(self, r: jax.Array, x: jax.Array,
@@ -159,17 +173,33 @@ class MultiSetComparator(nn.Module):
             self.latent_size, self.num_heads, self.num_blocks,
             ln=True, name="encoder")(r, x, masks=masks)
 
-        def pool(v, m):
-            if m is None:
-                return jnp.mean(v, axis=1)
-            m = m[:, :, None].astype(v.dtype)
-            return jnp.sum(v * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1)
+        if self.pooling == "pma":
+            pool_r = PMA(self.latent_size, self.latent_size, self.num_heads,
+                         1, ln=True, name="pool_x")
+            pool_x = PMA(self.latent_size, self.latent_size, self.num_heads,
+                         1, ln=True, name="pool_y")
+            zr = pool_r(r_enc, mask=None if masks is None
+                        else masks[0][:, :1])[:, 0]
+            zx = pool_x(x_enc, mask=None if masks is None
+                        else masks[3][:, :1])[:, 0]
+        elif self.pooling == "max":
+            zr, zx = jnp.max(r_enc, axis=1), jnp.max(x_enc, axis=1)
+        else:
 
-        pooled = jnp.concatenate(
-            [pool(r_enc, r_mask), pool(x_enc, x_mask)], axis=-1)
-        h = nn.Dense(self.latent_size, name="head1")(pooled)
-        h = nn.leaky_relu(h, 0.2)
-        return nn.Dense(1, name="head2")(h)  # [B, 1]
+            def pool(v, m):
+                if m is None:
+                    return jnp.mean(v, axis=1)
+                m = m[:, :, None].astype(v.dtype)
+                return (jnp.sum(v * m, axis=1)
+                        / jnp.maximum(jnp.sum(m, axis=1), 1))
+
+            zr, zx = pool(r_enc, r_mask), pool(x_enc, x_mask)
+
+        out = jnp.concatenate([zr, zx, zr * zx], axis=-1)
+        for i in range(self.decoder_layers):  # set.py:328-341 MLP head
+            out = nn.Dense(self.latent_size, name=f"head{i}")(out)
+            out = nn.relu(out)
+        return nn.Dense(1, name="decoder")(out)  # [B, 1]
 
 
 class MultiScaleD(nn.Module):
@@ -251,14 +281,16 @@ class ProjectedSetDiscriminator(nn.Module):
                 return (v - mean) / std
 
             x_n, r_n = norm(x_aug), norm(r_aug)
-            if self.interp224:
-                x_n = resize_bilinear(x_n, 224)
-                r_n = resize_bilinear(r_n, 224)
+            fixed = backbone_fixed_res(bb)
+            in_res = x.shape[2]
+            if self.interp224 or fixed is not None:
+                in_res = 224 if self.interp224 else fixed
+                x_n = resize_bilinear(x_n, in_res)
+                r_n = resize_bilinear(r_n, in_res)
 
             proj = FeatureProjector(backbone=bb, name=f"proj_{bb}")
             x_feats = {k: to_set(v, b) for k, v in proj(x_n).items()}
             r_feats = {k: to_set(v, b) for k, v in proj(r_n).items()}
-            in_res = 224 if self.interp224 else x.shape[2]
             # stage-0 resolution: /2 for the VGG stack, /4 for DeiT/EffNet
             res0 = in_res // (2 if bb == "vgg16_proj" else 4)
             resolutions = [res0 // (2 ** i) for i in range(4)]

@@ -72,7 +72,9 @@ class SetGANTrainConfig:
     # Encoder reference resolution (reference fixes 256; smaller values give
     # cheap CPU dryruns of the full step graph).
     ref_resolution: int = 256
-    d_interp224: bool = True  # resize D inputs to 224 (reference default)
+    # None → reference rule `resolution < 224` (train_setgan.py:227);
+    # ViT backbones are resized to their fixed 224 either way.
+    d_interp224: Optional[bool] = None
     d_latent_size: int = 512
     d_num_discs: int = 4
     # Superres phase (reference train_setgan.py:360-361 + loss.py:117-121):
@@ -135,8 +137,10 @@ class SetGANTrainer:
                         use_temperature=cfg.use_temperature,
                         disable_style_concat=cfg.disable_style_concat,
                         encoder_type=cfg.encoder_type)
+        interp224 = (cfg.d_interp224 if cfg.d_interp224 is not None
+                     else decoder_cfg.img_resolution < 224)
         self.D = ProjectedSetDiscriminator(
-            backbones=tuple(cfg.d_backbones), interp224=cfg.d_interp224,
+            backbones=tuple(cfg.d_backbones), interp224=interp224,
             latent_size=cfg.d_latent_size, num_discs=cfg.d_num_discs,
             attn_heads=cfg.d_attn_heads, attn_layers=cfg.d_attn_layers)
 

@@ -619,3 +619,19 @@ def test_discriminator_builds_from_registry_names():
         v = d.init(jax.random.PRNGKey(0), r, x)
         logits = d.apply(v, r, x, rngs={"aug": jax.random.PRNGKey(1)})
         assert logits.ndim == 2 and logits.shape[0] == 1
+
+
+def test_vit_families_declare_fixed_input_res():
+    """ViT backbones must be resized to their baked-in token grid even when
+    interp224 is off (reference `self.interp224 or bb_name in VITS`,
+    models/setgan/discriminator.py:225-227); conv families must not."""
+    from stylegan3_editing_tpu.setgan.discriminator import backbone_fixed_res
+
+    for name in ("deit_base_distilled_patch16_224",
+                 "deit_small_distilled_patch16_224",
+                 "deit_tiny_distilled_patch16_224",
+                 "vit_base_patch16_224", "clip_vit_b32"):
+        assert backbone_fixed_res(name) == 224, name
+    for name in ("tf_efficientnet_lite0", "vgg16", "resnet50",
+                 "vgg16_proj", "resnet50_clip"):
+        assert backbone_fixed_res(name) is None, name

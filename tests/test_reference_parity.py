@@ -455,6 +455,52 @@ def test_multiset_encoder_parity_with_reference(sharing):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("pooling", ["mean", "pma"])
+def test_multiset_comparator_parity_with_reference(pooling):
+    """MultiSetComparator vs the reference MultiSetTransformer under the
+    set discriminator's kwargs (decoder_layers=0, ln=True, dropout=0 —
+    discriminator.py:96-107): encoder → pool → [ZX | ZY | ZX·ZY] → Linear
+    → logit. 'mean' is the discriminator's choice; 'pma' is
+    MultiSetTransformer's own default (set.py:376)."""
+    torch, ref = _load_ref_set_module()
+    from stylegan3_editing_tpu.setgan.discriminator import MultiSetComparator
+
+    dlat, heads, blocks = 16, 4, 2
+    torch.manual_seed(0)
+    tmod = ref.MultiSetTransformer(
+        dlat, dlat, dlat, dlat, 1, num_heads=heads, num_blocks=blocks,
+        ln=True, weight_sharing="none", dropout=0, decoder_layers=0,
+        pooling=pooling).eval()
+    state = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+
+    enc = {}
+    for i in range(blocks):
+        blk = {n: _t_sab(state, f"encoder.blocks.{i}.{n}")
+               for n in ("MAB_XX", "MAB_YY", "MAB_XY", "MAB_YX")}
+        blk["fc_X"] = _t_lin(state, f"encoder.blocks.{i}.fc_X")
+        blk["fc_Y"] = _t_lin(state, f"encoder.blocks.{i}.fc_Y")
+        blk["ln_x"] = _t_ln(state, f"encoder.blocks.{i}.ln_x")
+        blk["ln_y"] = _t_ln(state, f"encoder.blocks.{i}.ln_y")
+        enc[f"block_{i}"] = blk
+    params = {"encoder": enc, "decoder": _t_lin(state, "decoder")}
+    if pooling == "pma":
+        for ours, theirs in (("pool_x", "pool_x"), ("pool_y", "pool_y")):
+            params[ours] = {"S": np.asarray(state[f"{theirs}.S"]),
+                            "mab": _t_sab(state, f"{theirs}.mab")}
+
+    rng = np.random.RandomState(4)
+    r = rng.randn(3, 5, dlat).astype(np.float32)
+    x = rng.randn(3, 6, dlat).astype(np.float32)
+
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(r), torch.from_numpy(x)).numpy()
+    comp = MultiSetComparator(dlat, num_heads=heads, num_blocks=blocks,
+                              pooling=pooling)
+    got = comp.apply({"params": params}, jnp.asarray(r), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got).ravel(), want.ravel(),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _t_decoder_params(state, blocks, pfx="blocks", use_temperature=True):
     out = {}
     for i in range(blocks):
