@@ -63,11 +63,18 @@ class SetGANCliOptions:
     tick_kimg: float = 4.0
     snapshot_ticks: int = 50
     eval_ticks: int = 50
-    blur_init_sigma: float = 0.0
-    blur_fade_kimg: float = 0.0
+    # Reference defaults (train_setgan.py:244-246): D sees blurred images
+    # early, fading out over 300 kimg. Sigma is bucketed to 0.1 per
+    # compilation (bounded recompiles); 0 disables.
+    blur_init_sigma: float = 2.0
+    blur_fade_kimg: float = 300.0
     pl_weight: float = 0.0
     seed: int = 0
     resume: Optional[str] = None
+    # ADA target for p-gated candidate DiffAugment (None = keep the
+    # projected-GAN unconditional DiffAugment; reference heuristic
+    # setgan/training_loop.py:482-486).
+    ada_target: Optional[float] = None
     generator_path: Optional[str] = None  # pretrained stem (.pt/.npz)
     # Progressive superres phase (reference train_setgan.py:360-361, 508 +
     # scripts/train_setgan_superres.sh): grow the decoder from a previous
@@ -154,6 +161,29 @@ def make_fid_eval_fn(opts: "SetGANCliOptions", dataset):
     return eval_fn
 
 
+def load_encoder_variables(path: str):
+    """Pretrained ReStyle encoder variables from either a reference torch
+    checkpoint (released restyle_{psp,e4e} weights or an `encoder.*`
+    full-model subtree — reference SetGAN.load_weights, setgan.py:138-141)
+    or a framework coach checkpoint."""
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        from stylegan3_editing_tpu.models.encoders import (
+            convert_restyle_encoder_state, encoder_state_from_model_checkpoint)
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        enc_vars, _info = convert_restyle_encoder_state(
+            encoder_state_from_model_checkpoint(ckpt))
+        return enc_vars
+    # Coach checkpoint: its variables[col]["encoder"] subtree is the same
+    # module class.
+    from stylegan3_editing_tpu.runtime.checkpoint import load_pytree
+    coach_tree, _ = load_pytree(path)
+    src = coach_tree.get("variables", coach_tree)
+    return {col: src[col]["encoder"] for col in src
+            if isinstance(src[col], dict) and "encoder" in src[col]}
+
+
 def main(opts: SetGANCliOptions):
     # Multi-host entry (reference launcher: train_setgan.py:38-118 → here
     # env-gated jax.distributed.initialize; see parallel/multiprocess.py).
@@ -221,19 +251,17 @@ def main(opts: SetGANCliOptions):
             train_head_only=True,
             head_layer_names=head_layer_names(decoder_cfg, stem_cfg))
 
-    enc_vars = None
-    if opts.encoder_path:
-        # Pretrained ReStyle encoder from a coach checkpoint (its
-        # `variables[col]["encoder"]` subtree is the same module class).
-        from stylegan3_editing_tpu.runtime.checkpoint import load_pytree
-        coach_tree, _ = load_pytree(opts.encoder_path)
-        src = coach_tree.get("variables", coach_tree)
-        enc_vars = {col: src[col]["encoder"] for col in src
-                    if isinstance(src[col], dict) and "encoder" in src[col]}
+    enc_vars = load_encoder_variables(opts.encoder_path) \
+        if opts.encoder_path else None
 
     cfg = SetGANTrainConfig(
         total_kimg=opts.total_kimg, batch_size=opts.batch,
         g_lr=opts.glr, d_lr=opts.dlr, ema_kimg=opts.ema_kimg,
+        # Resume disables EMA rampup and speeds ADA adaptation
+        # (reference train_setgan.py:478-479).
+        ema_rampup=None if opts.resume else 0.05,
+        ada_target=opts.ada_target,
+        ada_kimg=100.0 if opts.resume else 500.0,
         tick_kimg=opts.tick_kimg, snapshot_ticks=opts.snapshot_ticks,
         ref_resolution=opts.encoder_res,
         eval_ticks=opts.eval_ticks, seed=opts.seed, stem=opts.stem,

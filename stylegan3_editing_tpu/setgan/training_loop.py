@@ -48,6 +48,16 @@ class SetGANTrainConfig:
     d_lr: float = 0.002
     beta2: float = 0.99
     ema_kimg: float = 10.0
+    # EMA ramp-up coefficient (reference training_loop.py:148,470):
+    # early in training the EMA horizon is capped at
+    # cur_nimg * ema_rampup. None disables (the reference does so on
+    # --resume, train_setgan.py:479).
+    ema_rampup: Optional[float] = 0.05
+    # Input-pipeline depth: a daemon thread keeps this many batches
+    # assembled AND device-placed ahead of the step (transfer
+    # overlap; the reference's DataLoader-workers analogue). 0 =
+    # place inline.
+    prefetch_batches: int = 2
     warmup_kimg: float = 0.0
     g_reg_interval: int = 4
     tick_kimg: float = 4.0
@@ -395,6 +405,31 @@ class SetGANTrainer:
 
     # ------------------------------------------------------------ stepping
 
+    def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict:
+        """Host batch → device-placed (dp-sharded) batch + host metadata.
+
+        Runs inside the prefetch thread so the transfer overlaps the
+        previous step; host-only quantities (ADA candidate count, grid
+        reference rows) are captured BEFORE placement — a multi-host global
+        array is not host-readable.
+        """
+        from ..parallel.multiprocess import put_global_batch
+
+        local_b = batch["reference"].shape[0]
+        meta = {
+            "local_b": local_b,
+            # Candidate count for ADA, from the LOCAL mask.
+            "local_c_eff": (int(np.sum(batch["cand_mask"]))
+                            if "cand_mask" in batch
+                            else local_b * batch["candidate"].shape[1]),
+            "reference_head": np.asarray(batch["reference"][:4]),
+        }
+        data_shard = batch_sharding(self.mesh)
+        placed = {k: (put_global_batch(data_shard, v)
+                      if k != "classes" else v) for k, v in batch.items()}
+        placed["_meta"] = meta
+        return placed
+
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         """One G+D step. `batch` is this PROCESS's local shard (= the global
         batch in single-process runs; in multi-host runs each host feeds its
@@ -406,18 +441,17 @@ class SetGANTrainer:
         cfg = self.cfg
         dp = self.mesh.shape["data"]
         pc = jax.process_count()
-        local_b = batch["reference"].shape[0]
+        if "_meta" not in batch:
+            batch = self._place_batch(batch)
+        batch = dict(batch)
+        meta = batch.pop("_meta")
+        local_b = meta["local_b"]
+        local_c_eff = meta["local_c_eff"]
         global_b = local_b * pc
         assert global_b % dp == 0, (
             f"global batch {global_b} must divide the "
             f"'data' mesh axis ({dp})")
         data_shard = batch_sharding(self.mesh)
-        # Candidate count for ADA, from the LOCAL mask (a global sharded
-        # array is not host-summable in multi-process runs).
-        local_c_eff = (int(np.sum(batch["cand_mask"])) if "cand_mask" in batch
-                       else local_b * batch["candidate"].shape[1])
-        batch = {k: (put_global_batch(data_shard, v)
-                     if k != "classes" else v) for k, v in batch.items()}
         c_max = batch["candidate"].shape[1]
         self._rng, kz, kd, kg = jax.random.split(self._rng, 4)
         # Same key on every host → identical global z; each host contributes
@@ -454,8 +488,10 @@ class SetGANTrainer:
                     batch, z, kg, self.pl_mean, ada_p,
                     blur_sigma=blur_sigma, do_pl=do_pl)
 
-        # G_ema (beta from ema_kimg, training_loop.py:467-476).
+        # G_ema (beta from ema_kimg + rampup, training_loop.py:467-476).
         ema_nimg = cfg.ema_kimg * 1000
+        if cfg.ema_rampup is not None:
+            ema_nimg = min(ema_nimg, self.cur_nimg * cfg.ema_rampup)
         beta = 0.5 ** (cfg.batch_size / max(ema_nimg, 1e-8))
         self.g_ema_params = self._ema_step(self.g_ema_params,
                                            self.g_vars["params"],
@@ -512,11 +548,25 @@ class SetGANTrainer:
                 print(text)
                 with open(self.run_dir / "module_summary.txt", "a") as f:
                     f.write(text + "\n")
-        for batch in data:
+        from ..data.prefetch import DevicePrefetcher, maybe_prefetch
+        it = maybe_prefetch(iter(data), self._place_batch,
+                            cfg.prefetch_batches)
+        try:
+            self._train_loop(it, total_nimg, tick_nimg, next_tick, t_start,
+                             t_tick, writer, grid_refs, eval_fn, log_fn)
+        finally:
+            if isinstance(it, DevicePrefetcher):
+                it.close()
+        return self
+
+    def _train_loop(self, it, total_nimg, tick_nimg, next_tick, t_start,
+                    t_tick, writer, grid_refs, eval_fn, log_fn):
+        cfg = self.cfg
+        for batch in it:
             if grid_refs is None:
                 # Fixed reference sets for the recurring sample grid
                 # (reference setgan/training_loop.py:315-346).
-                grid_refs = np.asarray(batch["reference"][:4])
+                grid_refs = batch["_meta"]["reference_head"]
             metrics = self.train_step(batch)
             if self.cur_nimg >= next_tick or self.cur_nimg >= total_nimg:
                 from ..runtime.profiling import drain_scope_times
@@ -566,7 +616,6 @@ class SetGANTrainer:
                 next_tick += tick_nimg
             if self.cur_nimg >= total_nimg:
                 break
-        return self
 
     # --------------------------------------------------------- checkpoints
 

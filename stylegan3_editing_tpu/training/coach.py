@@ -414,6 +414,14 @@ class Coach:
         from ..runtime.events import EventWriter, save_image_grid
         writer = EventWriter(Path(opts.exp_dir) / "logs")
         from ..runtime.profiling import drain_scope_times, profiled_scope
+        # Transfer overlap: device-place the next batch while this step
+        # runs (data/prefetch.py; the reference's DataLoader-workers
+        # analogue, coach_restyle_psp.py batch loop :91-112).
+        from ..data.prefetch import DevicePrefetcher
+        import jax.numpy as _jnp
+        train_iter = DevicePrefetcher(
+            iter(train_iter),
+            lambda b: (_jnp.asarray(b[0]), _jnp.asarray(b[1])), depth=2)
         for batch in train_iter:
             with profiled_scope("coach_step"):
                 metrics = self.train_step(batch)

@@ -125,3 +125,18 @@ def test_e4e_coach_with_discriminator_and_progressive(tmp_path):
     assert "discriminator_r1_loss" in metrics[0]  # step 0 % d_reg_every == 0
     assert coach._current_stage() == 1  # passed progressive step 2
     assert "total_delta_loss" in metrics[-1]
+
+
+def test_coach_train_loop_with_prefetcher(tmp_path):
+    """coach.train drives the outer loop (stats.jsonl, events, final state)
+    through the device prefetcher (data/prefetch.py, depth 2)."""
+    opts = TrainOptions(
+        exp_dir=str(tmp_path), batch_size=2, effective_batch_size=2,
+        n_iters_per_batch=1, l2_lambda=1.0, output_size=32,
+        max_steps=3, board_interval=1, val_interval=10 ** 6,
+        save_interval=10 ** 6,
+    )
+    coach = Coach(opts, decoder_cfg=tiny_cfg())
+    coach.train(synthetic_batches(5))
+    assert coach.global_step == 3
+    assert (tmp_path / "stats.jsonl").exists()

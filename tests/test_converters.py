@@ -450,3 +450,112 @@ def test_tf1_progressive_torgb_lod_remap(tmp_path, fake_persistence_modules):
         sd["synthesis.b4.torgb.weight"],
         np.transpose(torgb_w, (3, 2, 0, 1)))
     assert "synthesis.b4.torgb.affine.bias" in sd
+
+
+def test_convert_checkpoint_cli_encoder_and_sg3(tmp_path):
+    """scripts/convert_checkpoint.py end-to-end: a torch ReStyle-encoder
+    checkpoint auto-detects as 'encoder' and a reference SG3 .pt converts
+    as 'sg3'; both .npz archives restore to the exact converter trees."""
+    import importlib.util
+    import os
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+
+    from tests.test_reference_parity import (_load_ref_encoder_module, TINY)
+    from stylegan3_editing_tpu.models.encoders.convert import (
+        convert_restyle_encoder_state)
+    from stylegan3_editing_tpu.models.sg3.convert import npz_to_variables
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_checkpoint",
+        str(Path(__file__).parent.parent / "scripts" / "convert_checkpoint.py"))
+    cli = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = cli
+    spec.loader.exec_module(cli)
+
+    # --- encoder kind (auto-detected) ---
+    _, ref_enc = _load_ref_encoder_module()
+    torch.manual_seed(0)
+    tenc = ref_enc.ProgressiveBackboneEncoder(50, "ir_se", n_styles=3,
+                                              input_nc=3)
+    src = tmp_path / "enc.pt"
+    torch.save(tenc.state_dict(), src)
+    meta = cli.convert(str(src), str(tmp_path / "enc"), kind="auto")
+    assert meta["kind"] == "encoder"
+    assert meta["encoder"]["mode"] == "ir_se"
+    restored = npz_to_variables(str(tmp_path / "enc.npz"))
+    state = {k: v.detach().numpy() for k, v in tenc.state_dict().items()}
+    want, _ = convert_restyle_encoder_state(state)
+    w_flat = jax.tree_util.tree_flatten_with_path(want)[0]
+    r_flat = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    assert len(w_flat) == len(r_flat)
+    for path, v in w_flat:
+        np.testing.assert_array_equal(np.asarray(v), r_flat[path])
+
+    # --- sg3 .pt kind ---
+    sys.path.insert(0, "/root/reference")
+    from models.stylegan3.networks_stylegan3 import (
+        Generator as TorchGenerator)
+
+    torch.manual_seed(0)
+    g = TorchGenerator(**TINY)
+    src_g = tmp_path / "gen.pt"
+    torch.save(g.state_dict(), src_g)
+    overrides = {k: v for k, v in TINY.items() if k != "img_resolution"}
+    meta = cli.convert(str(src_g), str(tmp_path / "gen"), kind="sg3",
+                       preset="sg3-t", res=TINY["img_resolution"],
+                       cfg_overrides=overrides)
+    assert meta["decoder_cfg"]["img_resolution"] == TINY["img_resolution"]
+    restored = npz_to_variables(str(tmp_path / "gen.npz"))
+    assert "params" in restored and "buffers" in restored
+    import json
+    with open(tmp_path / "gen.json") as f:
+        assert json.load(f)["kind"] == "sg3"
+
+
+def test_train_cli_loads_reference_encoder_pt(tmp_path):
+    """`--encoder_path foo.pt` (a reference torch ReStyle checkpoint,
+    setgan.py:138-141) converts into variables whose params subtree merges
+    into the SetGAN encoder (same module class, same tree)."""
+    import importlib.util
+    import os
+    import sys
+    from pathlib import Path
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    from tests.test_reference_parity import _load_ref_encoder_module
+
+    spec = importlib.util.spec_from_file_location(
+        "train_setgan_cli_enc",
+        str(Path(__file__).parent.parent / "scripts" / "train_setgan.py"))
+    cli = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = cli
+    spec.loader.exec_module(cli)
+
+    _, ref_enc = _load_ref_encoder_module()
+    torch.manual_seed(1)
+    tenc = ref_enc.ProgressiveBackboneEncoder(50, "ir_se", n_styles=3,
+                                              input_nc=3)
+    # Full-model style: 'state_dict' wrapper + 'encoder.' prefixes.
+    ckpt = {"state_dict": {f"encoder.{k}": v
+                           for k, v in tenc.state_dict().items()}}
+    src = tmp_path / "model.pt"
+    torch.save(ckpt, src)
+
+    enc_vars = cli.load_encoder_variables(str(src))
+    assert set(enc_vars) == {"params", "batch_stats"}
+
+    from stylegan3_editing_tpu.models.encoders import (
+        ProgressiveBackboneEncoder)
+    enc = ProgressiveBackboneEncoder(num_layers=50, mode="ir_se", n_styles=3)
+    ref_shapes = jax.eval_shape(enc.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)))
+    ref_flat = dict(jax.tree_util.tree_flatten_with_path(ref_shapes)[0])
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(enc_vars)[0])
+    assert set(ref_flat) == set(got_flat)

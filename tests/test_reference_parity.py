@@ -583,3 +583,136 @@ def test_style_attention_parity_with_reference():
     got = sa.apply({"params": params}, jnp.asarray(codes),
                    jnp.asarray(styles))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+# --- ReStyle encoder parity (reference restyle_e4e_encoders.py) ----------
+
+def _load_ref_encoder_module():
+    """Import the reference encoder package with torchvision and the
+    rosinality CUDA-op module stubbed (models/stylegan2/op compiles a CUDA
+    extension at import; EqualLinear's linear path never touches it)."""
+    import types
+
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.resnet34 = lambda *a, **k: None
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if "models.stylegan2.op" not in sys.modules:
+        op = types.ModuleType("models.stylegan2.op")
+        op.FusedLeakyReLU = torch.nn.LeakyReLU
+        op.fused_leaky_relu = lambda *a, **k: None
+        op.upfirdn2d = lambda *a, **k: None
+        sys.modules["models.stylegan2.op"] = op
+    from models.setgan.encoder.encoders import restyle_e4e_encoders
+    return torch, restyle_e4e_encoders
+
+
+@pytest.mark.parametrize("mode", ["ir", "ir_se"])
+def test_restyle_encoder_converter_parity(mode):
+    """ProgressiveBackboneEncoder with converted reference weights matches
+    the reference encoder (restyle_e4e_encoders.py:31-88) — full inference
+    stage AND a mid progressive stage (w0 + deltas 1..stage)."""
+    torch, ref = _load_ref_encoder_module()
+    from stylegan3_editing_tpu.models.encoders import (
+        INFERENCE_STAGE, ProgressiveBackboneEncoder)
+    from stylegan3_editing_tpu.models.encoders.convert import (
+        convert_restyle_encoder_state)
+
+    n_styles = 4
+    torch.manual_seed(0)
+    tenc = ref.ProgressiveBackboneEncoder(50, mode, n_styles=n_styles,
+                                          input_nc=3).eval()
+    state = {k: v.detach().numpy() for k, v in tenc.state_dict().items()}
+    variables, info = convert_restyle_encoder_state(state)
+    assert info["trunk"] == "irse" and info["mode"] == mode
+    assert info["num_layers"] == 50 and info["n_styles"] == n_styles
+
+    enc = ProgressiveBackboneEncoder(num_layers=50, mode=mode,
+                                     n_styles=n_styles)
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    x_t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    with torch.no_grad():
+        want = tenc(x_t).numpy()  # stage default: all deltas
+    got = enc.apply(variables, jnp.asarray(x), stage=INFERENCE_STAGE)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    tenc.progressive_stage = 2
+    with torch.no_grad():
+        want2 = tenc(x_t).numpy()
+    got2 = enc.apply(variables, jnp.asarray(x), stage=2)
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=2e-4, atol=2e-4)
+
+
+def test_restyle_encoder_converter_resnet_tree(tmp_path):
+    """ResNet-trunk encoder state (fabricated torchvision-flat layout)
+    converts onto ResNetProgressiveBackboneEncoder's exact variable tree
+    (reference ResNetProgressiveBackboneEncoder, :91-148; torchvision isn't
+    installed here, so this checks tree compatibility, not numerics)."""
+    import jax
+
+    from stylegan3_editing_tpu.models.backbones.resnet import RESNET34_LAYERS
+    from stylegan3_editing_tpu.models.encoders import (
+        ResNetProgressiveBackboneEncoder)
+    from stylegan3_editing_tpu.models.encoders.convert import (
+        convert_restyle_encoder_state)
+
+    rng = np.random.RandomState(0)
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    state = {"conv1.weight": t(64, 3, 7, 7), "relu.weight": t(64)}
+    for bn in ("bn1",):
+        state.update({f"{bn}.weight": t(64), f"{bn}.bias": t(64),
+                      f"{bn}.running_mean": t(64), f"{bn}.running_var":
+                      np.abs(t(64)) + 1})
+    flat = 0
+    cin = 64
+    for blocks, ch in RESNET34_LAYERS:
+        for bi in range(blocks):
+            p = f"body.{flat}"
+            state[f"{p}.conv1.weight"] = t(ch, cin if bi == 0 else ch, 3, 3)
+            state[f"{p}.conv2.weight"] = t(ch, ch, 3, 3)
+            for bn in ("bn1", "bn2"):
+                state.update({
+                    f"{p}.{bn}.weight": t(ch), f"{p}.{bn}.bias": t(ch),
+                    f"{p}.{bn}.running_mean": t(ch),
+                    f"{p}.{bn}.running_var": np.abs(t(ch)) + 1})
+            if bi == 0 and cin != ch:
+                state[f"{p}.downsample.0.weight"] = t(ch, cin, 1, 1)
+                state.update({
+                    f"{p}.downsample.1.weight": t(ch),
+                    f"{p}.downsample.1.bias": t(ch),
+                    f"{p}.downsample.1.running_mean": t(ch),
+                    f"{p}.downsample.1.running_var": np.abs(t(ch)) + 1})
+            flat += 1
+        cin = ch
+    for j in range(2):
+        c = 512
+        for k in range(4):
+            state[f"styles.{j}.convs.{2 * k}.weight"] = t(c, c, 3, 3)
+            state[f"styles.{j}.convs.{2 * k}.bias"] = t(c)
+        state[f"styles.{j}.linear.weight"] = t(c, c)
+        state[f"styles.{j}.linear.bias"] = t(c)
+
+    variables, info = convert_restyle_encoder_state(state)
+    assert info == {"trunk": "resnet34", "n_styles": 2}
+
+    enc = ResNetProgressiveBackboneEncoder(n_styles=2)
+    ref_shapes = jax.eval_shape(enc.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)))
+    ref_flat = dict(jax.tree_util.tree_flatten_with_path(ref_shapes)[0])
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    assert set(ref_flat) == set(got_flat), (
+        sorted(set(ref_flat) ^ set(got_flat))[:6])
+    for k in ref_flat:
+        assert tuple(ref_flat[k].shape) == tuple(got_flat[k].shape), k
+    out = enc.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 2, 512)

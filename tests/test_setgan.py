@@ -721,3 +721,68 @@ def test_trainer_tick_events_and_grid(class_folder, tmp_path):
     assert events and events[0].stat().st_size > 0
     grids = list(tmp_path.glob("fakes_*.png"))
     assert grids, "no sample grid written on snapshot tick"
+
+
+# ------------------------------------------------------------- prefetcher
+
+def test_device_prefetcher_order_errors_and_close():
+    from stylegan3_editing_tpu.data.prefetch import (DevicePrefetcher,
+                                                     maybe_prefetch)
+
+    out = list(DevicePrefetcher(iter(range(7)), lambda x: x * 2, depth=3))
+    assert out == [0, 2, 4, 6, 8, 10, 12]
+
+    # depth=0 → inline generator, no thread.
+    assert list(maybe_prefetch(iter(range(3)), lambda x: x + 1, 0)) == [1, 2, 3]
+
+    def boom(x):
+        if x == 2:
+            raise ValueError("bad batch")
+        return x
+
+    it = DevicePrefetcher(iter(range(5)), boom, depth=2)
+    got = []
+    with pytest.raises(ValueError, match="bad batch"):
+        for v in it:
+            got.append(v)
+    assert got == [0, 1]
+
+    # close() unblocks a producer stuck on a full queue.
+    pf = DevicePrefetcher(iter(range(100)), lambda x: x, depth=1)
+    assert next(pf) == 0
+    pf.close()
+
+
+@pytest.mark.slow
+def test_train_step_prefetch_matches_inline(class_folder, tmp_path):
+    """prefetch_batches=2 (threaded placement) and 0 (inline) produce
+    bit-identical losses over 3 steps — placement is semantics-free."""
+    from stylegan3_editing_tpu.parallel import create_mesh
+
+    def run(depth):
+        cfg = SetGANTrainConfig(batch_size=2, tick_kimg=1.0,
+                                d_backbones=("vgg16_proj",),
+                                ref_resolution=32, d_interp224=False,
+                                d_latent_size=32, d_num_discs=2,
+                                prefetch_batches=depth, seed=3)
+        mesh = create_mesh(devices=jax.devices()[:2])
+        trainer = SetGANTrainer(cfg, tiny_cfg(), mesh=mesh)
+        ds = ClassImageDataset.from_folder(class_folder, resolution=32)
+        gen = ImageMultiSetGenerator(ds, batch_size=2,
+                                     reference_range=(2, 3),
+                                     candidate_range=(1, 2), seed=11)
+        batches = [gen.sample_batch() for _ in range(3)]
+        losses = []
+        trainer._train_loop_losses = losses
+        from stylegan3_editing_tpu.data.prefetch import maybe_prefetch
+        it = maybe_prefetch(iter(batches), trainer._place_batch, depth)
+        for b in it:
+            m = trainer.train_step(b)
+            losses.append((m["Loss/G/loss"], m["Loss/D/loss"]))
+        return losses
+
+    a, b = run(0), run(2)
+    assert len(a) == len(b) == 3
+    for (ga, da), (gb, db) in zip(a, b):
+        assert ga == pytest.approx(gb, rel=1e-6)
+        assert da == pytest.approx(db, rel=1e-6)
