@@ -23,28 +23,17 @@ echo "=== stage 2: steady-state train steps (fused backward) ==="
 timeout 5400 python scripts/bench_train_steps.py --what pti --backward fused || true
 timeout 5400 python scripts/bench_train_steps.py --what coach --backward fused || true
 
+
 echo "=== stage 2b: SetGAN stem steady-state step (sec/kimg) ==="
-timeout 7200 python scripts/bench_train_steps.py --what setgan || true
-
-echo "=== stage 2c: video inversion+edit end-to-end (frames/sec) ==="
-timeout 7200 python scripts/bench_video.py || true
-
-echo "=== stage 3: per-layer VPU baseline refresh (hot layers) ==="
-timeout 5400 python scripts/microbench_flrelu.py --impl fused --layers L10,L11,L13 || true
+timeout 2400 python scripts/bench_train_steps.py --what setgan || true
 
 echo "=== stage 4: MXU canary (L13 only — smallest hot layer) ==="
-SG3TPU_FLRELU_DOWN=mxu timeout 3600 python scripts/microbench_flrelu.py \
-  --impl fused --layers L13 || { echo "MXU canary failed/wedged — STOP"; exit 2; }
+[ "$(date +%s)" -lt 1787115780 ] && SG3TPU_FLRELU_DOWN=mxu timeout 1400 python scripts/microbench_flrelu.py --impl fused --layers L13 || echo "mxu canary skipped/failed"
 
-echo "=== stage 5: MXU full matrix ==="
-for mode in mxu mxu_bf16; do
-  SG3TPU_FLRELU_DOWN=$mode timeout 7200 python scripts/microbench_flrelu.py \
-    --impl fused || true
-done
-SG3TPU_FLRELU_DOWN=mxu SG3TPU_FLRELU_UP=mxu timeout 7200 \
-  python scripts/microbench_flrelu.py --impl fused || true
+echo "=== stage 5: MXU hot layers (deadline-guarded) ==="
+[ "$(date +%s)" -lt 1787116080 ] && SG3TPU_FLRELU_DOWN=mxu timeout 1200 python scripts/microbench_flrelu.py --impl fused --layers L10,L11,L12 || echo "mxu hot skipped/failed"
+[ "$(date +%s)" -lt 1787116080 ] && SG3TPU_FLRELU_DOWN=mxu SG3TPU_FLRELU_UP=mxu timeout 1200 python scripts/microbench_flrelu.py --impl fused --layers L11,L13 || echo "mxu updown skipped/failed"
 
-echo "=== stage 6: end-to-end with MXU engines ==="
-SG3TPU_FLRELU_DOWN=mxu timeout 5400 python bench.py || true
-SG3TPU_FLRELU_DOWN=mxu SG3TPU_FLRELU_UP=mxu timeout 5400 python bench.py || true
+echo "=== stage 2c: video e2e (only if time remains) ==="
+[ "$(date +%s)" -lt 1787116380 ] && timeout 1200 python scripts/bench_video.py || echo "video skipped/failed"
 echo "done $(date)"
