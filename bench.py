@@ -92,8 +92,8 @@ def main():
         record["note"] = (
             "TPU tunnel unavailable (backend init probe timed out) — this is "
             "the CPU smoke fallback at 64², NOT the flagship metric. Last "
-            "real-chip measurement: 7.1173 img/s/chip, SG3-R 1024², batch 8, "
-            "2026-08-19 (BASELINE.md round-3 tables).")
+            "real-chip measurement: 7.1151 img/s/chip, SG3-R 1024², batch 8, "
+            "2026-08-19 (BENCH_r03.json).")
     print(json.dumps(record))
 
 

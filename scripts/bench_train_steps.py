@@ -134,7 +134,7 @@ def bench_coach(iters: int) -> float:
     return per_step
 
 
-def bench_setgan(iters: int) -> float:
+def bench_setgan(iters: int, batch: int = 4) -> float:
     """Full SetGAN G+D train step at the reference's canonical stem recipe.
 
     Reference scripts/train_setgan_stem.sh:35-66 trains the stylegan3-t stem
@@ -148,7 +148,7 @@ def bench_setgan(iters: int) -> float:
     from stylegan3_editing_tpu.setgan.training_loop import (
         SetGANTrainConfig, SetGANTrainer)
 
-    batch, n_ref, n_cand = 4, 7, 4
+    n_ref, n_cand = 7, 4
     dec = sg3_t_config(256, channel_base=16384, channel_max=256)
     cfg = SetGANTrainConfig(batch_size=batch)
     trainer = SetGANTrainer(cfg, dec)
@@ -159,6 +159,8 @@ def bench_setgan(iters: int) -> float:
                 (batch, n_ref, 256, 256, 3)).astype(np.float32) * 0.1,
             "candidate": rng.standard_normal(
                 (batch, n_cand, 256, 256, 3)).astype(np.float32) * 0.1,
+            "ref_mask": np.ones((batch, n_ref), bool),
+            "cand_mask": np.ones((batch, n_cand), bool),
         }
     t0 = time.perf_counter()
     trainer.train_step(make_batch())
@@ -182,6 +184,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backward", default="fused",
                     choices=("fused", "composed"))
+    ap.add_argument("--batch", type=int, default=4,
+                    help="setgan candidate sets per step (the canonical "
+                         "recipe is 4/GPU on 48GB A40s; one 16GB v5e chip "
+                         "OOMs above 2 — measured round 4)")
     args = ap.parse_args()
     if args.backward == "composed":
         os.environ["SG3TPU_FLRELU_IMPL"] = "xla"
@@ -190,7 +196,7 @@ def main():
     if args.what in ("coach", "both"):
         bench_coach(args.iters)
     if args.what == "setgan":
-        bench_setgan(args.iters)
+        bench_setgan(args.iters, args.batch)
 
 
 if __name__ == "__main__":

@@ -102,11 +102,14 @@ class SetGANCliOptions:
     disable_style_concat: bool = False
     no_mean_center: bool = False
     encoder_type: str = "ProgressiveBackboneEncoder"
+    # IR(-SE) trunk depth (reference fixes 50; 8 = CI/dryrun minimal trunk).
+    encoder_num_layers: int = 50
     # FID feature network: converted InceptionV3 (pool3) weights .npz — the
     # reference's extractor (setgan/metric_utils.py:374-402). Empty → the
     # in-repo InceptionV3 at random init (plumbing identical; numbers not
     # comparable to published FIDs until weights are supplied).
     inception_path: Optional[str] = None
+    fid: bool = True  # False skips in-loop FID entirely (smoke/CI runs)
     fid_classes: int = 8  # classes sampled per eval
     fid_mode: str = "agg"  # agg | sfid | rfid
     # decoder capacity
@@ -279,6 +282,7 @@ def main(opts: SetGANCliOptions):
         disable_style_concat=opts.disable_style_concat,
         mean_center=False if opts.no_mean_center else None,
         encoder_type=opts.encoder_type,
+        encoder_num_layers=opts.encoder_num_layers,
         **superres_cfg_kwargs,
         loss=SetGANLossConfig(blur_init_sigma=opts.blur_init_sigma,
                               blur_fade_kimg=opts.blur_fade_kimg,
@@ -294,7 +298,7 @@ def main(opts: SetGANCliOptions):
     if opts.resume:
         trainer.restore(opts.resume)
 
-    eval_fn = make_fid_eval_fn(opts, eval_ds)
+    eval_fn = make_fid_eval_fn(opts, eval_ds) if opts.fid else None
     # SG3TPU_TRACE_DIR-gated jax.profiler capture (reference profiling
     # scopes: torch_utils/misc.py:102-110, training_loop.py:304-309).
     from stylegan3_editing_tpu.runtime.profiling import (

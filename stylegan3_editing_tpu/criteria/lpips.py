@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.backbones.alexnet import AlexNetFeatures, N_CHANNELS as ALEX_CH
+from ..models.backbones.squeezenet import SqueezeNetFeatures, N_CHANNELS as SQUEEZE_CH
 from ..models.backbones.vgg import VGG16Features, N_CHANNELS as VGG_CH
 from ..models.backbones.common import put
 
@@ -32,7 +33,7 @@ def _normalize_activation(x: jax.Array, eps: float = 1e-10) -> jax.Array:
 class LPIPS(nn.Module):
     """LPIPS criterion. Input: NHWC images in [-1, 1]. Returns scalar."""
 
-    net_type: str = "alex"  # 'alex' | 'vgg'
+    net_type: str = "alex"  # 'alex' | 'vgg' | 'squeeze'
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -42,6 +43,9 @@ class LPIPS(nn.Module):
         elif self.net_type == "vgg":
             net = VGG16Features(name="net")
             channels = VGG_CH
+        elif self.net_type == "squeeze":
+            net = SqueezeNetFeatures(name="net")
+            channels = SQUEEZE_CH
         else:
             raise NotImplementedError(self.net_type)
 
@@ -67,9 +71,12 @@ class LPIPS(nn.Module):
 
 
 def convert_lpips_linear_state(state: Mapping[str, np.ndarray]) -> dict:
-    """richzhang linear heads (`{i}.1.weight`, [1, C, 1, 1]) → params."""
+    """richzhang linear heads (`{i}.1.weight`, [1, C, 1, 1]) → params.
+
+    Handles any head count (5 for alex/vgg, 7 for squeeze)."""
     params: dict = {}
-    for i in range(5):
+    n_heads = sum(1 for k in state if k.endswith(".1.weight"))
+    for i in range(n_heads):
         w = np.asarray(state[f"{i}.1.weight"])  # [1, C, 1, 1]
         put(params, f"lin{i}", w.transpose(2, 3, 1, 0))  # → [1, 1, C, 1]
     return params

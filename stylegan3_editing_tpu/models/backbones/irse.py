@@ -41,8 +41,13 @@ def get_blocks(num_layers: int) -> List[List[BlockSpec]]:
         units = (3, 13, 30, 3)
     elif num_layers == 152:
         units = (3, 8, 36, 3)
+    elif num_layers == 8:
+        # Minimal 4-stage trunk (one bottleneck per stage) — NOT a reference
+        # depth (those are 50/100/152); exists for CI smoke / dryrun graphs
+        # where compile time matters and pretrained weights don't.
+        units = (1, 1, 1, 1)
     else:
-        raise ValueError(f"num_layers must be 50/100/152, got {num_layers}")
+        raise ValueError(f"num_layers must be 8/50/100/152, got {num_layers}")
     chans = ((64, 64), (64, 128), (128, 256), (256, 512))
     return [stage(i, d, n) for (i, d), n in zip(chans, units)]
 

@@ -115,15 +115,36 @@ def avg_pool2d(x: jax.Array, window: int, stride=None) -> jax.Array:
     return out / (window * window)
 
 
-def max_pool2d(x: jax.Array, window: int, stride: int, padding: int = 0) -> jax.Array:
-    """Max pooling over NHWC (torch MaxPool2d semantics, explicit padding)."""
+def max_pool2d(x: jax.Array, window: int, stride: int, padding: int = 0,
+               ceil_mode: bool = False) -> jax.Array:
+    """Max pooling over NHWC (torch MaxPool2d semantics, explicit padding).
+
+    ceil_mode pads bottom/right with -inf so the last partial window counts
+    (torch MaxPool2d(ceil_mode=True)); windows always start within the
+    input+left-pad region for window > stride//... — torch drops windows
+    starting entirely in right padding, which cannot happen when the extra
+    pad is < stride (true here: extra < stride by construction).
+    """
     # init must be a concrete scalar so XLA pattern-matches reduce-window-max
     # (a traced init breaks reverse-mode autodiff).
     if jnp.issubdtype(x.dtype, jnp.floating):
         neg = -np.inf
     else:
         neg = np.iinfo(np.dtype(x.dtype)).min
-    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+
+    def extra(size: int) -> int:
+        if not ceil_mode:
+            return 0
+        span = size + 2 * padding - window
+        out = -(-span // stride) + 1  # ceil division
+        if (out - 1) * stride >= size + padding:  # torch's dropped-window rule
+            out -= 1
+        return max(0, (out - 1) * stride + window - (size + 2 * padding))
+
+    pads = ((0, 0),
+            (padding, padding + extra(x.shape[1])),
+            (padding, padding + extra(x.shape[2])),
+            (0, 0))
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1),

@@ -40,6 +40,24 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 _INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
 _INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
 
+class TinyFeatures(nn.Module):
+    """Minimal 4-stage conv feature net (/2, /4, /8, /16; 8-64 channels).
+
+    NOT a reference backbone — exists so CI smoke tests and the driver's
+    CPU-mesh dryrun compile the full projected-D graph in seconds instead
+    of minutes. Production runs use the reference pair (DeiT + EffNet-lite0)
+    or vgg16_proj."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jax.Array]:
+        feats = []
+        for i, c in enumerate((8, 16, 32, 64)):
+            x = nn.Conv(c, (3, 3), strides=2, padding=1, name=f"conv{i}")(x)
+            x = nn.relu(x)
+            feats.append(x)
+        return feats
+
+
 # Legacy direct entry (5-stage VGG, sliced in FeatureProjector); every
 # other name resolves through the generic feature-network registry
 # (models/backbones/registry.py — the reference `_make_pretrained` analogue,
@@ -47,7 +65,11 @@ _INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
 # registry per backbone (constants.py:67-104 + projector.py:9-28 parity).
 BACKBONES = {
     "vgg16_proj": (VGG16Features, _IMAGENET_MEAN, _IMAGENET_STD),
+    "tiny_proj": (TinyFeatures, _INCEPTION_MEAN, _INCEPTION_STD),
 }
+
+# First feature stage's downsampling factor (registry backbones start at /4).
+_FIRST_STAGE_STRIDE = {"vgg16_proj": 2, "tiny_proj": 2}
 
 
 def resolve_backbone(name: str):
@@ -291,8 +313,9 @@ class ProjectedSetDiscriminator(nn.Module):
             proj = FeatureProjector(backbone=bb, name=f"proj_{bb}")
             x_feats = {k: to_set(v, b) for k, v in proj(x_n).items()}
             r_feats = {k: to_set(v, b) for k, v in proj(r_n).items()}
-            # stage-0 resolution: /2 for the VGG stack, /4 for DeiT/EffNet
-            res0 = in_res // (2 if bb == "vgg16_proj" else 4)
+            # stage-0 resolution: /2 for the VGG/tiny stacks, /4 for
+            # DeiT/EffNet (registry backbones).
+            res0 = in_res // _FIRST_STAGE_STRIDE.get(bb, 4)
             resolutions = [res0 // (2 ** i) for i in range(4)]
             logits = MultiScaleD(resolutions, self.latent_size,
                                  self.num_discs, attn_heads=self.attn_heads,

@@ -151,13 +151,20 @@ class SetGAN(nn.Module):
     restyle_iters: int = 3
     # Encoder family (reference --encoder_type, restyle_*_encoders.py).
     encoder_type: str = "ProgressiveBackboneEncoder"
+    # IR(-SE) trunk depth for the IRSE encoder families (reference fixes 50;
+    # 8 = the CI/dryrun minimal trunk, models/backbones/irse.get_blocks).
+    encoder_num_layers: int = 50
 
     def setup(self):
         from ..models.encoders.restyle import ENCODER_TYPES
 
         self.decoder, self._num_ws = make_stem(self.stem, self.decoder_cfg)
+        enc_kwargs = {}
+        if "ResNet" not in self.encoder_type:
+            enc_kwargs["num_layers"] = self.encoder_num_layers
         self.encoder = ENCODER_TYPES[self.encoder_type](
-            n_styles=self._num_ws, style_dim=self.decoder_cfg.w_dim)
+            n_styles=self._num_ws, style_dim=self.decoder_cfg.w_dim,
+            **enc_kwargs)
         self.style_attn = StyleAttention(
             n_styles=self._num_ws,
             latent=self.decoder_cfg.w_dim,

@@ -113,6 +113,8 @@ class SetGANTrainConfig:
     disable_style_concat: bool = False
     mean_center: Optional[bool] = None  # None → off only for fastgan stems
     encoder_type: str = "ProgressiveBackboneEncoder"
+    # IR(-SE) trunk depth (reference fixes 50; 8 = CI/dryrun minimal trunk).
+    encoder_num_layers: int = 50
     loss: SetGANLossConfig = dataclasses.field(default_factory=SetGANLossConfig)
 
 
@@ -146,7 +148,8 @@ class SetGANTrainer:
                         use_set_decoder=cfg.use_set_decoder,
                         use_temperature=cfg.use_temperature,
                         disable_style_concat=cfg.disable_style_concat,
-                        encoder_type=cfg.encoder_type)
+                        encoder_type=cfg.encoder_type,
+                        encoder_num_layers=cfg.encoder_num_layers)
         interp224 = (cfg.d_interp224 if cfg.d_interp224 is not None
                      else decoder_cfg.img_resolution < 224)
         self.D = ProjectedSetDiscriminator(

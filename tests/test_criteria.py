@@ -136,7 +136,7 @@ def test_idloss_runs_and_grads():
 
 # ------------------------------------------------------------------- LPIPS
 
-@pytest.mark.parametrize("net_type", ["alex", "vgg"])
+@pytest.mark.parametrize("net_type", ["alex", "vgg", "squeeze"])
 def test_lpips_properties(net_type):
     model = LPIPS(net_type=net_type)
     x = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
@@ -155,6 +155,65 @@ def test_lpips_linear_converter_shapes():
              for i, c in enumerate(N_CHANNELS)}
     params = convert_lpips_linear_state(state)
     assert params["lin0"].shape == (1, 1, 64, 1)
+
+
+def test_lpips_squeeze_heads_and_converter():
+    """squeeze variant: 7 taps with the reference channel list
+    (/root/reference/criteria/lpips/networks.py:65-72), converter maps a
+    torchvision squeezenet1_1-shaped state dict + 7 linear heads."""
+    from stylegan3_editing_tpu.criteria.lpips import convert_lpips_linear_state
+    from stylegan3_editing_tpu.models.backbones.squeezenet import (
+        N_CHANNELS as SQ_CH,
+        SqueezeNetFeatures,
+        convert_squeezenet_state,
+    )
+
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+    net = SqueezeNetFeatures()
+    variables = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(variables, x)
+    assert tuple(f.shape[-1] for f in feats) == SQ_CH
+
+    # Converter: build a fake torchvision state dict, check tree compatibility.
+    fire_cfg = {3: (64, 16, 64), 4: (128, 16, 64), 6: (128, 32, 128),
+                7: (256, 32, 128), 9: (256, 48, 192), 10: (384, 48, 192),
+                11: (384, 64, 256), 12: (512, 64, 256)}
+    state = {"features.0.weight": RNG.rand(64, 3, 3, 3).astype(np.float32),
+             "features.0.bias": RNG.rand(64).astype(np.float32)}
+    for idx, (cin, sq, ex) in fire_cfg.items():
+        state[f"features.{idx}.squeeze.weight"] = RNG.rand(sq, cin, 1, 1).astype(np.float32)
+        state[f"features.{idx}.squeeze.bias"] = RNG.rand(sq).astype(np.float32)
+        state[f"features.{idx}.expand1x1.weight"] = RNG.rand(ex, sq, 1, 1).astype(np.float32)
+        state[f"features.{idx}.expand1x1.bias"] = RNG.rand(ex).astype(np.float32)
+        state[f"features.{idx}.expand3x3.weight"] = RNG.rand(ex, sq, 3, 3).astype(np.float32)
+        state[f"features.{idx}.expand3x3.bias"] = RNG.rand(ex).astype(np.float32)
+    converted = convert_squeezenet_state(state)
+    want = jax.tree_util.tree_structure(variables)
+    got = jax.tree_util.tree_structure(converted)
+    assert want == got, (want, got)
+    shapes_want = jax.tree_util.tree_map(lambda a: a.shape, variables)
+    shapes_got = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, converted)
+    assert shapes_want == shapes_got
+
+    # 7-head linear converter round-trip.
+    lin_state = {f"{i}.1.weight": RNG.rand(1, c, 1, 1).astype(np.float32)
+                 for i, c in enumerate(SQ_CH)}
+    lin = convert_lpips_linear_state(lin_state)
+    assert len(lin) == 7 and lin["lin6"].shape == (1, 1, 512, 1)
+
+
+def test_max_pool2d_ceil_mode_vs_torch():
+    """ceil_mode parity with torch MaxPool2d across odd/even sizes."""
+    import torch
+    import torch.nn.functional as F
+    from stylegan3_editing_tpu.ops.image import max_pool2d
+
+    for size in (7, 8, 13, 55, 111):
+        x = RNG.rand(1, size, size, 4).astype(np.float32)
+        got = max_pool2d(jnp.asarray(x), 3, 2, ceil_mode=True)
+        want = F.max_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            3, 2, ceil_mode=True).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0)
 
 
 # -------------------------------------------------------------------- MoCo

@@ -1,6 +1,8 @@
 """Tests: InterFaceGAN editor, StyleCLIP global directions + mapper, FOV
 expander, CLIP model."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -274,3 +276,31 @@ def test_interpolation_video(tmp_path):
     assert n == 4
     assert (mp4.exists() and mp4.stat().st_size > 0) or \
         (frames_dir.exists() and len(list(frames_dir.glob("*.png"))) == 4)
+
+
+# ------------------------------------------------- inversion fidelity harness
+
+@pytest.mark.slow
+def test_inversion_fidelity_harness_exact_parity(tmp_path):
+    """scripts/eval_inversion_fidelity.py end-to-end in random-init mode:
+    identical weights through this framework and the reference torch path
+    must give a near-zero LPIPS delta (the <0.5 BASELINE bar is for real
+    released weights; exact parity is the expectation here)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).parent.parent
+    out = tmp_path / "fidelity.json"
+    r = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "eval_inversion_fidelity.py"),
+         "--resolution", "64", "--channel_base", "2048", "--channel_max",
+         "64", "--num_layers", "6", "--num", "2", "--n_iters", "2",
+         "--out", str(out)],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    rec = json.loads(out.read_text())
+    assert rec["pass"] and rec["lpips_delta"] < 0.05, rec
+    assert rec["recon_max_abs_diff"] < 0.05, rec
