@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import types
 from pathlib import Path
@@ -122,6 +123,14 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    # The axon TPU plugin overrides JAX_PLATFORMS=cpu; honor it explicitly
+    # so CI runs never claim the shared TPU chip.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
 
     torch, ref_enc_mod, TorchGenerator = _load_reference_modules()
     torch.manual_seed(args.seed)

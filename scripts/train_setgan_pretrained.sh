@@ -25,7 +25,7 @@ CKPT=${6:-}
 KIMG=${7:-10000}
 
 ARGS=(
-  --outdir "./training-runs/${EXP}_${RES}"
+  --outdir "${OUTDIR:-./training-runs}/${EXP}_${RES}"
   --data "$DATA"
   --resolution "$RES"
   --total_kimg "$KIMG"

@@ -23,7 +23,7 @@ CKPT=${4:-}
 KIMG=${5:-10000}
 
 ARGS=(
-  --outdir "./training-runs/${EXP}_${RES}"
+  --outdir "${OUTDIR:-./training-runs}/${EXP}_${RES}"
   --data "$DATA"
   --resolution "$RES"
   --total_kimg "$KIMG"

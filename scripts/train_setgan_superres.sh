@@ -23,11 +23,11 @@ KIMG=${6:-10000}
 
 if [ "${SG3TPU_SMOKE:-0}" = 1 ] && [ "$STEM" = - ]; then
   SG3TPU_SMOKE=1 bash scripts/train_setgan_stem.sh $((RES / 2)) "$DATA" "${EXP}_stem"
-  STEM="./training-runs/${EXP}_stem_$((RES / 2))/final.npz"
+  STEM="${OUTDIR:-./training-runs}/${EXP}_stem_$((RES / 2))/final"
 fi
 
 ARGS=(
-  --outdir "./training-runs/${EXP}_${RES}"
+  --outdir "${OUTDIR:-./training-runs}/${EXP}_${RES}"
   --data "$DATA"
   --resolution "$RES"
   --total_kimg "$KIMG"

@@ -28,7 +28,17 @@ import numpy as np
 def maybe_initialize_distributed() -> bool:
     """Env-gated `jax.distributed.initialize`. Returns True when a
     multi-process runtime was started (call once, before first device use).
+
+    Also honors JAX_PLATFORMS=cpu explicitly: this environment's axon TPU
+    plugin silently OVERRIDES the env var, so a CLI asked to run on CPU
+    (smoke tests, CI) would otherwise claim the single shared TPU chip.
+    The config flag wins over the plugin (see tests/conftest.py).
     """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
     num = os.environ.get("SG3TPU_NUM_PROCESSES")
     if not num:
         return False

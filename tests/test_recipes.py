@@ -35,7 +35,8 @@ def class_dataset(tmp_path_factory):
 
 
 def _run(script, args, cwd, extra_env=None):
-    env = dict(os.environ, SG3TPU_SMOKE="1", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, SG3TPU_SMOKE="1", JAX_PLATFORMS="cpu",
+               OUTDIR=str(cwd / "training-runs"))
     env.pop("XLA_FLAGS", None)  # the scripts set their own device count
     env.update(extra_env or {})
     r = subprocess.run(["bash", str(REPO / "scripts" / script), *args],
@@ -50,7 +51,7 @@ def test_stem_recipe_smoke(class_dataset, tmp_path):
     r = _run("train_setgan_stem.sh", ["32", str(class_dataset), "smoke"],
              cwd=tmp_path)
     assert "done at" in r.stdout
-    assert (tmp_path / "training-runs" / "smoke_32" / "final.npz").exists()
+    assert (tmp_path / "training-runs" / "smoke_32" / "final.json").exists()
 
 
 @pytest.mark.slow
@@ -59,7 +60,7 @@ def test_superres_recipe_smoke(class_dataset, tmp_path):
     r = _run("train_setgan_superres.sh",
              ["64", str(class_dataset), "smoke", "-"], cwd=tmp_path)
     assert "done at" in r.stdout
-    assert (tmp_path / "training-runs" / "smoke_64" / "final.npz").exists()
+    assert (tmp_path / "training-runs" / "smoke_64" / "final.json").exists()
 
 
 @pytest.mark.slow
