@@ -92,8 +92,9 @@ def main():
         record["note"] = (
             "TPU tunnel unavailable (backend init probe timed out) — this is "
             "the CPU smoke fallback at 64², NOT the flagship metric. Last "
-            "real-chip measurement: 7.1151 img/s/chip, SG3-R 1024², batch 8, "
-            "2026-08-19 (BENCH_r03.json).")
+            "real-chip measurement: 8.3115 img/s/chip, SG3-R 1024², batch 8, "
+            "auto engines (MXU down-pass on up=2 layers), 2026-08-19 "
+            "(BASELINE.md round-4 MXU shootout section).")
     print(json.dumps(record))
 
 

@@ -97,12 +97,15 @@ def main():
         jax.random.PRNGKey(0), jnp.concatenate([x0, x0], axis=-1),
         latent_avg=jnp.zeros((512,)))
     avg_image, latent_avg = get_average_image(model, variables)
-    run = jax.jit(lambda seed: body(variables, avg_image, latent_avg, seed))
+    # Weights must be jit ARGUMENTS: a closure-captured variables tree is
+    # inlined into the HLO as constants, and the serialized program then
+    # exceeds the axon remote-compile helper's request-size cap (HTTP 413).
+    run = jax.jit(body)
     t0 = time.perf_counter()
-    float(run(0))
+    float(run(variables, avg_image, latent_avg, 0))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(1))
+    float(run(variables, avg_image, latent_avg, 1))
     dt = time.perf_counter() - t0
     fps = args.batch * args.iters / dt
     print(f"video inversion+edit: {fps:.3f} frames/s "

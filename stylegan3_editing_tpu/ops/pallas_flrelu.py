@@ -282,6 +282,21 @@ def _truncate_rank_terms(terms, tol: Optional[float] = None):
     return keep
 
 
+def _auto_down_mode(up: int) -> str:
+    """Measured per-geometry down-engine choice (BASELINE.md round-4 table).
+
+    On the v5e chip the banded-MXU down-pass beats the VPU FMA chains on
+    every up=2 geometry measured (L11 84.2→38.5 ms, L12 24.0→18.6,
+    L13 22.9→18.0 at batch 2) but ties/loses on the 4-phase up=4 layer
+    (L10 87.9→89.3) — the ×4 polyphase read plan quadruples the matrix
+    count and the banding waste eats the MXU:VPU ratio. CPU/interpret
+    keeps the VPU path (no MXU to ride; simpler interpreted kernel).
+    """
+    if jax.default_backend() != "tpu":
+        return "vpu"
+    return "mxu" if up == 2 else "vpu"
+
+
 def _down_matrices(terms, u: int, classes: int, count: int, q_count: int,
                    which: int) -> np.ndarray:
     """Banded matrices for the MXU down-pass (SG3TPU_FLRELU_DOWN=mxu).
@@ -734,8 +749,10 @@ def fused_filtered_lrelu(
     # banding waste ~Q/taps is repaid by the MXU:VPU peak ratio). 'mxu' keeps
     # f32 operands at HIGHEST precision for fp32 layers / DEFAULT for bf16
     # layers; 'mxu_bf16' casts planes+matrices to bf16 (native MXU pass).
-    down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "vpu")
+    down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "auto")
     up_mode = _os2.environ.get("SG3TPU_FLRELU_UP", "vpu")
+    if down_mode == "auto":
+        down_mode = _auto_down_mode(up)
     classes = max(up // 2, 1)
     mxu_kw = {}
     extra = []  # (name, np matrix) in kernel-operand order
@@ -1077,7 +1094,13 @@ def fused_filtered_lrelu_bwd(
     dims = (n, plan_g_h.n_tiles, plan_g_w.n_tiles, c_pad // c_block)
 
     import os as _os3
-    down_mode = _os3.environ.get("SG3TPU_FLRELU_DOWN", "vpu")
+    down_mode = _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto")
+    if down_mode == "auto":
+        # The backward kernel's MXU down-stage is exactness-tested but has
+        # no chip measurement yet (round-4 table covers forward only), so
+        # 'auto' stays on the measured-good VPU chains here. Set the env to
+        # 'mxu' explicitly to force it in both directions.
+        down_mode = "vpu"
     mxu_kw = {}
     extra_operands = []
     extra_specs = []

@@ -394,6 +394,44 @@ def test_fused_filtered_lrelu_mxu_down_pass():
                                    err_msg=f"bwd u={u} radial={radial}")
 
 
+def test_flrelu_auto_engine_rule(monkeypatch):
+    """The 'auto' down-engine default resolves per the round-4 chip
+    measurements (BASELINE.md MXU shootout): banded-MXU for up=2 on TPU,
+    VPU tap chains for up=4 and on non-TPU backends."""
+    import math
+    import os
+
+    from stylegan3_editing_tpu.ops import pallas_flrelu as pf
+
+    assert pf._auto_down_mode(2) == "vpu"  # CPU backend in tests
+    assert pf._auto_down_mode(4) == "vpu"
+    monkeypatch.setattr(pf.jax, "default_backend", lambda: "tpu")
+    assert pf._auto_down_mode(2) == "mxu"
+    assert pf._auto_down_mode(4) == "vpu"
+    monkeypatch.undo()
+
+    # Env unset → auto; on CPU that is the VPU path and must match an
+    # explicit vpu run bit-for-bit.
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 12, 12, 4).astype(np.float32))
+    fu = np.hanning(10)[1:-1]
+    fu /= fu.sum()
+    fd = np.hanning(10)[1:-1]
+    fd /= fd.sum()
+    args = (x, fu, fd, None, 2, 2, (3, 3, 3, 3), math.sqrt(2), 0.2, 256.0)
+    prev = os.environ.pop("SG3TPU_FLRELU_DOWN", None)
+    try:
+        got = pf.fused_filtered_lrelu(*args)
+        os.environ["SG3TPU_FLRELU_DOWN"] = "vpu"
+        want = pf.fused_filtered_lrelu(*args)
+    finally:
+        if prev is None:
+            os.environ.pop("SG3TPU_FLRELU_DOWN", None)
+        else:
+            os.environ["SG3TPU_FLRELU_DOWN"] = prev
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_filtered_lrelu_unsupported_configs():
     from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
 
