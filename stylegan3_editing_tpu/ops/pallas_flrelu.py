@@ -1094,7 +1094,12 @@ def fused_filtered_lrelu_bwd(
     dims = (n, plan_g_h.n_tiles, plan_g_w.n_tiles, c_pad // c_block)
 
     import os as _os3
-    down_mode = _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto")
+    # Backward-specific override first (lets an A/B pin the backward engine
+    # without disturbing the forward's measured auto choice), then the
+    # shared knob.
+    down_mode = _os3.environ.get(
+        "SG3TPU_FLRELU_DOWN_BWD",
+        _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto"))
     if down_mode == "auto":
         # The backward kernel's MXU down-stage is exactness-tested but has
         # no chip measurement yet (round-4 table covers forward only), so

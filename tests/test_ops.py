@@ -431,6 +431,25 @@ def test_flrelu_auto_engine_rule(monkeypatch):
             os.environ["SG3TPU_FLRELU_DOWN"] = prev
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    # The backward-only override pins the bwd engine without touching the
+    # forward: SG3TPU_FLRELU_DOWN_BWD=mxu must stay exact vs the default.
+    y = pf.fused_filtered_lrelu(*args)
+    dy = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    bwd_args = (dy, x, fu, fd, None, 2, 2, (3, 3, 3, 3),
+                math.sqrt(2), 0.2, 256.0)
+    want_b = pf.fused_filtered_lrelu_bwd(*bwd_args)
+    prev_b = os.environ.get("SG3TPU_FLRELU_DOWN_BWD")
+    try:
+        os.environ["SG3TPU_FLRELU_DOWN_BWD"] = "mxu"
+        got_b = pf.fused_filtered_lrelu_bwd(*bwd_args)
+    finally:
+        if prev_b is None:
+            os.environ.pop("SG3TPU_FLRELU_DOWN_BWD", None)
+        else:
+            os.environ["SG3TPU_FLRELU_DOWN_BWD"] = prev_b
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=2e-6, rtol=2e-6)
+
 
 def test_fused_filtered_lrelu_unsupported_configs():
     from stylegan3_editing_tpu.ops.pallas_flrelu import fused_filtered_lrelu
