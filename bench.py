@@ -88,6 +88,14 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": None,
     }
+    if on_tpu:
+        # Distance to the measured VPU roofline for this op mix on one v5e
+        # chip (~13 img/s — BASELINE.md round-2 analysis: ~240 Gflop of
+        # up-grid work per batch-2 step at the measured ~1.6 Tflop/s VPU
+        # MAC-sweep throughput). Tracked so every round's BENCH artifact
+        # shows distance-to-ceiling, not just a number (VERDICT r4 #7).
+        record["roofline_img_s"] = 13.0
+        record["roofline_frac"] = round(images_per_sec / 13.0, 4)
     if not on_tpu:
         record["note"] = (
             "TPU tunnel unavailable (backend init probe timed out) — this is "

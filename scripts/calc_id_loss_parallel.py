@@ -1,10 +1,13 @@
 """ID-similarity metric over inversion outputs (CurricularFace IR-101).
 
 Parity: reference inversion/scripts/calc_id_loss_parallel.py — embeds
-reconstructions + ground truth with an IR-101 face net (MTCNN-aligned in
-the reference; here center-crop fallback when no detector is available) and
-reports mean cosine similarity. The reference's multiprocess pool becomes
-one batched jitted embedding pass.
+reconstructions + ground truth with an IR-101 face net and reports mean
+cosine similarity. Faces are MTCNN-aligned 112² warps exactly like the
+reference (mtcnn.align(), calc_id_loss_parallel.py:115) when the released
+detector weights are present; without them the script falls back to the
+center crop (35:223, 32:220 of the 256² face — criteria/id_loss.py:22) and
+says so. The reference's multiprocess pool becomes one batched jitted
+embedding pass.
 """
 
 from __future__ import annotations
@@ -23,8 +26,10 @@ import jax
 import jax.numpy as jnp
 from PIL import Image
 
+from stylegan3_editing_tpu.configs import model_paths
 from stylegan3_editing_tpu.data.transforms import compose, pil_to_array, resize
 from stylegan3_editing_tpu.models.backbones.irse import IRSEBackbone, convert_irse_state
+from stylegan3_editing_tpu.models.mtcnn import MTCNN
 from stylegan3_editing_tpu.ops.image import adaptive_avg_pool2d
 from stylegan3_editing_tpu.utils.cli import parse_dataclass
 
@@ -35,6 +40,22 @@ class IDLossCalcOptions:
     gt_path: str = "./gt_images"
     batch_size: int = 4
     curricular_face_path: Optional[str] = None  # torch state dict (.pth)
+    # MTCNN .npy weight files; default to the configs registry paths. When
+    # all three exist, faces are detector-aligned like the reference.
+    mtcnn_pnet: str = str(model_paths["mtcnn_pnet"])
+    mtcnn_rnet: str = str(model_paths["mtcnn_rnet"])
+    mtcnn_onet: str = str(model_paths["mtcnn_onet"])
+
+
+def _build_aligner(opts: IDLossCalcOptions) -> Optional[MTCNN]:
+    paths = [opts.mtcnn_pnet, opts.mtcnn_rnet, opts.mtcnn_onet]
+    if all(Path(p).exists() for p in paths):
+        return MTCNN.from_npy(*paths)
+    print("WARNING: MTCNN weights not found "
+          f"({', '.join(str(p) for p in paths)}); falling back to the "
+          "center-crop protocol — similarities are NOT comparable to "
+          "reference-published MTCNN-aligned numbers")
+    return None
 
 
 def run(opts: IDLossCalcOptions):
@@ -52,12 +73,30 @@ def run(opts: IDLossCalcOptions):
         print("WARNING: CurricularFace weights not provided; similarities "
               "use a randomly initialized IR-101")
 
+    aligner = _build_aligner(opts)
     prep = compose(resize(256), pil_to_array)
 
     @jax.jit
-    def embed(imgs):
+    def embed_center_crop(imgs):
         faces = adaptive_avg_pool2d(imgs[:, 35:223, 32:220, :], 112)
         return net.apply(variables, faces)
+
+    @jax.jit
+    def embed_aligned(faces):
+        return net.apply(variables, faces)
+
+    def load_face(path: Path) -> Optional[np.ndarray]:
+        """→ [112, 112, 3] in [-1, 1] (aligned) or [256, 256, 3] (crop)."""
+        img = Image.open(path).convert("RGB")
+        if aligner is None:
+            return prep(img)
+        face, _ = aligner.align(np.asarray(img))
+        if face is None:
+            return None
+        # reference id_transform: ToTensor + Normalize(.5, .5) → [-1, 1]
+        return np.asarray(face, np.float32) / 127.5 - 1.0
+
+    embed = embed_center_crop if aligner is None else embed_aligned
 
     out_root = Path(opts.output_path)
     step_dirs = sorted(out_root.glob("step_*")) or [out_root]
@@ -66,14 +105,28 @@ def run(opts: IDLossCalcOptions):
         sims = []
         names = sorted(p.name for p in step_dir.iterdir()
                        if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
-        for start in range(0, len(names), opts.batch_size):
-            chunk = names[start:start + opts.batch_size]
-            a = jnp.asarray(np.stack(
-                [prep(Image.open(step_dir / n)) for n in chunk]))
-            b = jnp.asarray(np.stack(
-                [prep(Image.open(Path(opts.gt_path) / n)) for n in chunk]))
-            ea, eb = embed(a), embed(b)
+        batch_a, batch_b = [], []
+
+        def flush():
+            if not batch_a:
+                return
+            ea = embed(jnp.asarray(np.stack(batch_a)))
+            eb = embed(jnp.asarray(np.stack(batch_b)))
             sims.extend(np.asarray(jnp.sum(ea * eb, axis=-1)).tolist())
+            batch_a.clear()
+            batch_b.clear()
+
+        for n in names:
+            a = load_face(step_dir / n)
+            b = load_face(Path(opts.gt_path) / n)
+            if a is None or b is None:  # reference skips undetected faces
+                print(f"skipping {n} (no face detected)")
+                continue
+            batch_a.append(a)
+            batch_b.append(b)
+            if len(batch_a) == opts.batch_size:
+                flush()
+        flush()
         results[step_dir.name] = {"mean": float(np.mean(sims)),
                                   "std": float(np.std(sims)), "n": len(sims)}
         print(f"id_similarity {step_dir.name}: "

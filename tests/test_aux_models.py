@@ -78,6 +78,215 @@ def test_mtcnn_detector_runs():
     assert boxes.shape[1] == 5 and landmarks.shape[1] == 10
 
 
+# ------------------------------------------------- 5-point alignment warp
+
+def _load_reference_cp2tform():
+    """Import the reference's numpy-only cp2tform module as the oracle."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path("/root/reference/models/setgan/encoder/mtcnn/mtcnn_pytorch"
+                "/src/matlab_cp2tform.py")
+    if not path.exists():
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_cp2tform", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_similarity_transform_matches_reference():
+    from stylegan3_editing_tpu.models.mtcnn import (
+        get_similarity_transform, get_similarity_transform_cv2)
+
+    ref = _load_reference_cp2tform()
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        src = rng.uniform(20, 200, size=(5, 2))
+        dst = rng.uniform(20, 200, size=(5, 2))
+        for reflective in (True, False):
+            t_ours, tinv_ours = get_similarity_transform(
+                src, dst, reflective=reflective)
+            # The reference solver mutates its inputs in place — hand it
+            # copies so each oracle call sees fresh points.
+            t_ref, tinv_ref = ref.get_similarity_transform(
+                src.copy(), dst.copy(), reflective=reflective)
+            np.testing.assert_allclose(t_ours, t_ref, atol=1e-10)
+            np.testing.assert_allclose(tinv_ours, tinv_ref, atol=1e-10)
+        cv2_ours = get_similarity_transform_cv2(src, dst)
+        cv2_ref = ref.get_similarity_transform_for_cv2(src.copy(),
+                                                       dst.copy())
+        np.testing.assert_allclose(cv2_ours, cv2_ref, atol=1e-10)
+
+
+def test_reference_facial_points_geometry():
+    from stylegan3_editing_tpu.models.mtcnn import (
+        DEFAULT_CROP_SIZE, REFERENCE_FACIAL_POINTS,
+        get_reference_facial_points)
+
+    # default: the canonical (96, 112) template unchanged
+    np.testing.assert_allclose(get_reference_facial_points(),
+                               REFERENCE_FACIAL_POINTS)
+    # default_square pads x by (112-96)/2 = 8, y unchanged
+    # (align_trans.py:81-85)
+    sq = get_reference_facial_points(default_square=True)
+    np.testing.assert_allclose(sq[:, 0], REFERENCE_FACIAL_POINTS[:, 0] + 8)
+    np.testing.assert_allclose(sq[:, 1], REFERENCE_FACIAL_POINTS[:, 1])
+    assert DEFAULT_CROP_SIZE == (96, 112)
+
+
+def test_warp_and_crop_face_protocol():
+    from stylegan3_editing_tpu.models.mtcnn import (
+        get_reference_facial_points, get_similarity_transform_cv2,
+        warp_affine, warp_and_crop_face)
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (256, 256, 3), dtype=np.uint8)
+    # plausible 5-point layout (eyes, nose, mouth corners) in image coords
+    pts = np.array([[90.0, 100.0], [160.0, 98.0], [125.0, 140.0],
+                    [100.0, 180.0], [155.0, 178.0]])
+    ref_pts = get_reference_facial_points(default_square=True)
+    face, tfm = warp_and_crop_face(img, pts, ref_pts, crop_size=(112, 112))
+    assert face.shape == (112, 112, 3) and face.dtype == np.uint8
+    assert tfm.shape == (2, 3)
+    # the transform maps the landmarks close to the reference template
+    mapped = (np.hstack([pts, np.ones((5, 1))]) @ tfm.T)
+    assert float(np.abs(mapped - ref_pts).mean()) < 6.0
+    # 2xK point layout accepted like the reference (align_trans.py:268-278)
+    face_t, tfm_t = warp_and_crop_face(img, pts.T, ref_pts,
+                                       crop_size=(112, 112))
+    np.testing.assert_array_equal(face, face_t)
+
+    # the numpy warp fallback matches cv2.warpAffine within interpolation
+    # rounding (cv2 uses 5-bit fixed-point bilinear weights)
+    cv2 = pytest.importorskip("cv2")
+    m = get_similarity_transform_cv2(pts, ref_pts)
+    ours_cv = warp_affine(img, m, (112, 112))
+    theirs = cv2.warpAffine(img, m, (112, 112))
+    np.testing.assert_array_equal(ours_cv, theirs)  # warp_affine uses cv2
+
+    import stylegan3_editing_tpu.models.mtcnn as mtcnn_mod
+    src = np.asarray(img, np.float64)
+    full = np.vstack([m, [0, 0, 1.0]])
+    # exercise the pure-numpy path by temporarily hiding cv2
+    import builtins
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("hidden for test")
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = no_cv2
+    try:
+        ours_np = mtcnn_mod.warp_affine(img, m, (112, 112))
+    finally:
+        builtins.__import__ = real_import
+    assert int(np.abs(ours_np.astype(int) - theirs.astype(int)).max()) <= 2
+
+
+def test_mtcnn_npy_converter_structure_and_flatten_order():
+    import jax.tree_util as jtu
+    from stylegan3_editing_tpu.models.mtcnn import (ONet, RNet,
+                                                    convert_mtcnn_npy)
+
+    rng = np.random.RandomState(3)
+
+    def t_conv(cin, cout, k):
+        return rng.randn(cout, cin, k, k).astype(np.float32)
+
+    def fake(tmpl):  # build a torch-named .npy-style dict
+        return {k: (rng.randn(*v).astype(np.float32)
+                    if isinstance(v, tuple) else v) for k, v in tmpl.items()}
+
+    pnet_d = {"features.conv1.weight": t_conv(3, 10, 3),
+              "features.conv1.bias": (10,), "features.prelu1.weight": (10,),
+              "features.conv2.weight": t_conv(10, 16, 3),
+              "features.conv2.bias": (16,), "features.prelu2.weight": (16,),
+              "features.conv3.weight": t_conv(16, 32, 3),
+              "features.conv3.bias": (32,), "features.prelu3.weight": (32,),
+              "conv4_1.weight": t_conv(32, 2, 1), "conv4_1.bias": (2,),
+              "conv4_2.weight": t_conv(32, 4, 1), "conv4_2.bias": (4,)}
+    rnet_d = {"features.conv1.weight": t_conv(3, 28, 3),
+              "features.conv1.bias": (28,), "features.prelu1.weight": (28,),
+              "features.conv2.weight": t_conv(28, 48, 3),
+              "features.conv2.bias": (48,), "features.prelu2.weight": (48,),
+              "features.conv3.weight": t_conv(48, 64, 2),
+              "features.conv3.bias": (64,), "features.prelu3.weight": (64,),
+              "features.conv4.weight": (128, 576),
+              "features.conv4.bias": (128,),
+              "features.prelu4.weight": (128,),
+              "conv5_1.weight": (2, 128), "conv5_1.bias": (2,),
+              "conv5_2.weight": (4, 128), "conv5_2.bias": (4,)}
+    onet_d = {"features.conv1.weight": t_conv(3, 32, 3),
+              "features.conv1.bias": (32,), "features.prelu1.weight": (32,),
+              "features.conv2.weight": t_conv(32, 64, 3),
+              "features.conv2.bias": (64,), "features.prelu2.weight": (64,),
+              "features.conv3.weight": t_conv(64, 64, 3),
+              "features.conv3.bias": (64,), "features.prelu3.weight": (64,),
+              "features.conv4.weight": t_conv(64, 128, 2),
+              "features.conv4.bias": (128,),
+              "features.prelu4.weight": (128,),
+              "features.conv5.weight": (256, 1152),
+              "features.conv5.bias": (256,),
+              "features.prelu5.weight": (256,),
+              "conv6_1.weight": (2, 256), "conv6_1.bias": (2,),
+              "conv6_2.weight": (4, 256), "conv6_2.bias": (4,),
+              "conv6_3.weight": (10, 256), "conv6_3.bias": (10,)}
+
+    import tempfile
+    from pathlib import Path
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for name, d in [("pnet", fake(pnet_d)), ("rnet", fake(rnet_d)),
+                        ("onet", fake(onet_d))]:
+            p = Path(td) / f"{name}.npy"
+            np.save(p, np.array(d, dtype=object))
+            paths.append(p)
+        pv, rv, ov = convert_mtcnn_npy(*paths)
+
+    det = MTCNN()  # random-init reference structure
+    for ours, init in [(pv, det.pnet_vars), (rv, det.rnet_vars),
+                       (ov, det.onet_vars)]:
+        got = jtu.tree_map(lambda a: a.shape, ours)
+        want = jtu.tree_map(lambda a: a.shape, init)
+        assert got == want
+    # converted weights drive the staged pipeline
+    det2 = MTCNN(pv, rv, ov)
+    img = RNG.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    boxes, lms = det2.detect(img, min_face_size=20)
+    assert boxes.shape[1] == 5 and lms.shape[1] == 10
+
+    # flatten-order check: the reference flattens NCHW maps as (c, w, h)
+    # (get_nets.py:29); our RNet/ONet flatten as (c, h, w). The converter's
+    # column permutation must make both produce identical dense outputs.
+    torch = pytest.importorskip("torch")
+    feat = rng.randn(1, 64, 3, 3).astype(np.float32)  # NCHW map pre-flatten
+    w = rnet_d["features.conv4.weight"]
+    wt = torch.from_numpy(rng.randn(*w).astype(np.float32))
+    ref_flat = torch.from_numpy(feat).transpose(3, 2).contiguous().view(1, -1)
+    ref_out = (ref_flat @ wt.T).numpy()
+    # our flatten order: (c, h, w)
+    ours_flat = feat.reshape(1, -1)
+    # the converter's dense() permutation applied to the same weights
+    kern = wt.numpy().reshape(128, 64, 3, 3).transpose(0, 1, 3, 2) \
+        .reshape(128, -1).T
+    ours_out = ours_flat @ kern
+    np.testing.assert_allclose(ours_out, ref_out, rtol=1e-5, atol=1e-5)
+
+
+def test_mtcnn_align_api():
+    det = MTCNN()  # random weights
+    img = RNG.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    face, tfm = det.align(img)
+    if face is not None:  # random weights may or may not "detect" a face
+        assert face.shape == (112, 112, 3) and tfm.shape == (2, 3)
+    boxes, faces, tfms = det.align_multi(img, limit=2, min_face_size=20)
+    assert len(faces) == len(tfms)
+    for f in faces:
+        assert f.shape == (112, 112, 3)
+
+
 def test_runtime_utils():
     d = EasyDict(a=1)
     d.b = 2
