@@ -221,10 +221,11 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backward", default="fused",
                     choices=("fused", "composed"))
-    ap.add_argument("--batch", type=int, default=4,
-                    help="setgan candidate sets per step (the canonical "
-                         "recipe is 4/GPU on 48GB A40s; one 16GB v5e chip "
-                         "OOMs above 2 — measured round 4)")
+    ap.add_argument("--batch", type=int, default=2,
+                    help="setgan candidate sets per step. Default 2 = the "
+                         "largest that fit one 16GB v5e chip in round 4; "
+                         "the canonical recipe is 4/GPU on 48GB A40s — "
+                         "opt up explicitly on bigger chips")
     args = ap.parse_args()
     if args.backward == "composed":
         os.environ["SG3TPU_FLRELU_IMPL"] = "xla"

@@ -49,10 +49,20 @@ def _load_reference_modules():
 
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    if "torchvision" not in sys.modules:
+    try:
+        import torchvision  # noqa: F401 — real install wins (ResNet paths)
+    except ImportError:
+        # Stub only when torchvision is genuinely absent. The stub's
+        # resnet34 raises (instead of returning None) so a ResNet encoder
+        # type fails loudly up front, not with a confusing downstream error.
+        def _no_torchvision(*a, **k):
+            raise ImportError(
+                "torchvision is not installed — ResNet* encoder types need "
+                "it; use a BackboneEncoder type or install torchvision")
+
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
-        tvm.resnet34 = lambda *a, **k: None
+        tvm.resnet34 = _no_torchvision
         tv.models = tvm
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tvm
@@ -210,7 +220,9 @@ def main():
     # --- targets ----------------------------------------------------------
     if args.data:
         from PIL import Image
-        paths = sorted(Path(args.data).rglob("*"))[: args.num]
+        paths = [p for p in sorted(Path(args.data).rglob("*"))
+                 if p.is_file() and p.suffix.lower() in
+                 {".png", ".jpg", ".jpeg"}][: args.num]
         imgs = []
         for p in paths:
             im = Image.open(p).convert("RGB").resize((256, 256))

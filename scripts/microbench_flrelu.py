@@ -7,6 +7,9 @@ table: layer, impl, ms/call, achieved Gflop/s vs the VPU probe ceiling.
 Usage:
     python scripts/microbench_flrelu.py [--impl fused|xla] [--layers L10,L11]
     python scripts/microbench_flrelu.py --batch 2 --iters 8
+    python scripts/microbench_flrelu.py --mode bwd   # fused backward kernel
+        (engine via SG3TPU_FLRELU_DOWN_BWD=vpu|mxu — the round-5 backward
+        engine shootout; forward rows are unaffected by that knob)
 """
 
 from __future__ import annotations
@@ -60,6 +63,8 @@ def main():
     ap.add_argument("--layers", default=None)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--mode", default="fwd", choices=["fwd", "bwd"],
+                    help="bwd times fused_filtered_lrelu_bwd (dx kernel)")
     args = ap.parse_args()
 
     from stylegan3_editing_tpu.models.sg3 import sg3_r_config
@@ -83,37 +88,81 @@ def main():
         b = jnp.zeros((L.out_channels,), jnp.float32)
         gain = np.sqrt(2.0)
 
-        def call(xc, _L=L, _b=b, _g=gain):
-            return filtered_lrelu(
-                xc, fu=_L.up_filter, fd=_L.down_filter, b=_b,
-                up=_L.up_factor, down=_L.down_factor, padding=_L.padding,
-                gain=_g, slope=0.2, clamp=_L.conv_clamp, impl=args.impl)
+        if args.mode == "bwd":
+            from stylegan3_editing_tpu.ops.pallas_flrelu import \
+                fused_filtered_lrelu_bwd
 
-        def body(x_in, seed):
-            # x_in is an ARGUMENT (a closure-captured x becomes an HLO
-            # constant — at 1044² that overflows the remote compile
-            # helper's request-size limit, HTTP 413).
-            def step(i, carry):
-                xc, acc = carry
-                y = call(xc * (1.0 + 1e-6 * i + 1e-9 * seed))
-                return xc, acc + jnp.sum(y, dtype=jnp.float32)
-            _, acc = lax.fori_loop(0, args.iters, step, (x_in, 0.0))
-            return acc
+            # dy at the layer's OUTPUT geometry (composition size formula).
+            tu = len(np.asarray(L.up_filter))
+            fd_np = np.asarray(L.down_filter)
+            td_h, td_w = ((len(fd_np),) * 2 if fd_np.ndim == 1
+                          else fd_np.shape)
+            px0, px1, py0, py1 = L.padding
+            oh = (L.in_size[0] * L.up_factor + py0 + py1 - (tu - 1)
+                  - (td_h - 1) + 1) // L.down_factor
+            ow = (L.in_size[1] * L.up_factor + px0 + px1 - (tu - 1)
+                  - (td_w - 1) + 1) // L.down_factor
+            dy = jax.random.normal(
+                jax.random.PRNGKey(100 + L.idx),
+                (args.batch, oh, ow, L.out_channels), dtype)
 
-        run = jax.jit(body)
+            def call_bwd(dyc, xc, _L=L, _b=b, _g=gain):
+                return fused_filtered_lrelu_bwd(
+                    dyc, xc, fu=np.asarray(_L.up_filter),
+                    fd=np.asarray(_L.down_filter), b=_b, up=_L.up_factor,
+                    down=_L.down_factor, padding=_L.padding, gain=_g,
+                    slope=0.2, clamp=_L.conv_clamp)
+
+            def body(dy_in, x_in, seed):
+                def step(i, carry):
+                    dyc, xc, acc = carry
+                    dx = call_bwd(dyc * (1.0 + 1e-6 * i + 1e-9 * seed), xc)
+                    return dyc, xc, acc + jnp.sum(dx, dtype=jnp.float32)
+                _, _, acc = lax.fori_loop(0, args.iters, step,
+                                          (dy_in, x_in, 0.0))
+                return acc
+
+            run = jax.jit(body)
+            run_args = (dy, x)
+        else:
+            def call(xc, _L=L, _b=b, _g=gain):
+                return filtered_lrelu(
+                    xc, fu=_L.up_filter, fd=_L.down_filter, b=_b,
+                    up=_L.up_factor, down=_L.down_factor, padding=_L.padding,
+                    gain=_g, slope=0.2, clamp=_L.conv_clamp, impl=args.impl)
+
+            def body(x_in, seed):
+                # x_in is an ARGUMENT (a closure-captured x becomes an HLO
+                # constant — at 1044² that overflows the remote compile
+                # helper's request-size limit, HTTP 413).
+                def step(i, carry):
+                    xc, acc = carry
+                    y = call(xc * (1.0 + 1e-6 * i + 1e-9 * seed))
+                    return xc, acc + jnp.sum(y, dtype=jnp.float32)
+                _, acc = lax.fori_loop(0, args.iters, step, (x_in, 0.0))
+                return acc
+
+            run = jax.jit(body)
+            run_args = (x,)
+
+        tag = args.impl if args.mode == "fwd" else "bwd:" + os.environ.get(
+            "SG3TPU_FLRELU_DOWN_BWD",
+            os.environ.get("SG3TPU_FLRELU_DOWN", "auto"))
         try:
-            float(run(x, 0))
+            float(run(*run_args, 0))
         except Exception as e:
-            print(f"{L.name:16s} {args.impl:6s} COMPILE-FAIL: {str(e)[:120]}")
+            print(f"{L.name:16s} {tag:10s} COMPILE-FAIL: {str(e)[:160]}",
+                  flush=True)
             continue
         t0 = time.perf_counter()
-        float(run(x, 1))
+        float(run(*run_args, 1))
         dt = (time.perf_counter() - t0) / args.iters
         gf = layer_flops(L, args.batch) / dt / 1e9
         total_ms += dt * 1e3
-        print(f"{L.name:16s} {args.impl:6s} {dt*1e3:8.2f} ms  "
-              f"{gf:8.1f} Gflop/s")
-    print(f"{'TOTAL':16s} {args.impl:6s} {total_ms:8.2f} ms")
+        print(f"{L.name:16s} {tag:10s} {dt*1e3:8.2f} ms  "
+              f"{gf:8.1f} Gflop/s", flush=True)
+    print(f"{'TOTAL':16s} {tag if 'tag' in dir() else args.impl:10s} "
+          f"{total_ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

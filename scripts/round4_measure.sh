@@ -43,14 +43,18 @@ if ! timeout 180 python -c "import jax; assert any(d.platform=='tpu' for d in ja
 fi
 
 echo "=== stage 1: bank default bench (fused vpu, batch 8) ==="
-run_stage 600 5400 "default bench" python bench.py | tee /tmp/bench_r4_default.json
+# Redirect INSIDE run_stage's command (a `| tee` pipeline would discard the
+# stage's exit status and write skip/fail markers into the JSON artifact).
+run_stage 600 5400 "default bench" sh -c 'python bench.py > /tmp/bench_r4_default.json 2>&1'
+cat /tmp/bench_r4_default.json
 
 echo "=== stage 2: steady-state train steps (fused backward) ==="
 run_stage 600 5400 "pti train step" python scripts/bench_train_steps.py --what pti --backward fused
 run_stage 600 5400 "coach train step" python scripts/bench_train_steps.py --what coach --backward fused
 
 echo "=== stage 3: SetGAN stem steady-state step (sec/kimg) ==="
-run_stage 600 2400 "setgan sec/kimg" python scripts/bench_train_steps.py --what setgan
+# --batch 2: the largest setgan batch that fits one 16GB v5e (ROUND4.md).
+run_stage 600 2400 "setgan sec/kimg" python scripts/bench_train_steps.py --what setgan --batch 2
 
 echo "=== stage 4: video e2e fps ==="
 run_stage 600 2400 "video e2e" python scripts/bench_video.py

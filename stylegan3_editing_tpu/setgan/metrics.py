@@ -13,6 +13,8 @@ Cross-host reduction: feature moments accumulate locally and sum via
 
 from __future__ import annotations
 
+import hashlib
+from pathlib import Path
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -83,6 +85,19 @@ class FeatureStats:
         return self
 
 
+def stats_cache_file(cache_dir, dataset_name: str, detector_name: str,
+                     config: Optional[dict] = None) -> Path:
+    """Digest-keyed cache path for a dataset's real-side feature moments.
+
+    Parity: reference setgan/metric_utils.py:374-402 — cache tag =
+    '{dataset}-{detector}-{md5 of the sorted config repr}', so any change
+    to the dataset kwargs, detector, or stats options invalidates the entry.
+    """
+    md5 = hashlib.md5(
+        repr(sorted((config or {}).items())).encode("utf-8")).hexdigest()
+    return Path(cache_dir) / f"{dataset_name}-{detector_name}-{md5}.npz"
+
+
 def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     """FID between two Gaussians (scipy sqrtm on host).
 
@@ -126,6 +141,47 @@ class ConditionalFID:
 
     def append_fake(self, cls: int, images: np.ndarray):
         self._append(self.fake, cls, images)
+
+    # ------------------------------------------- real-stats disk cache
+
+    def save_real_stats(self, path) -> None:
+        """Persist the (synced) real-side per-class moments to an npz.
+
+        Parity role: the reference pickles its FeatureStatsByClass to
+        dnnlib/gan-metrics/ (metric_utils.py:398-402) so the second eval of
+        the same split loads moments instead of re-featurizing the dataset."""
+        for cls in sorted(self.real):
+            self.real[cls].sync_across_hosts()
+        arrays = {}
+        for cls, st in self.real.items():
+            if st._sum is None:
+                continue
+            arrays[f"sum_{cls}"] = st._sum
+            arrays[f"outer_{cls}"] = st._outer
+            arrays[f"num_{cls}"] = np.array(st.num, np.int64)
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, **arrays)
+        tmp.replace(path)
+
+    def load_real_stats(self, path) -> bool:
+        """Load cached real-side moments; True on hit. Loaded stats are
+        globally-synced already, so cross-host sync becomes a no-op."""
+        path = Path(path)
+        if not path.exists():
+            return False
+        with np.load(path) as z:
+            classes = sorted({int(k.split("_", 1)[1]) for k in z.files})
+            for cls in classes:
+                st = FeatureStats(max_items=self.max_items)
+                st._sum = z[f"sum_{cls}"]
+                st._outer = z[f"outer_{cls}"]
+                st.num = int(z[f"num_{cls}"])
+                st.dim = st._sum.shape[0]
+                st._synced = True
+                self.real[cls] = st
+        return True
 
     def _sync_stores(self):
         """Cross-host sync over a DETERMINISTIC union of classes.
@@ -214,27 +270,56 @@ class ConditionalMetrics:
     (class → reference/eval sets) and named metrics evaluated per split.
     """
 
-    def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray]):
+    def __init__(self, feature_fn: Callable[[np.ndarray], np.ndarray],
+                 cache_dir=None, detector_name: str = "features"):
         self.feature_fn = feature_fn
         self.splits: Dict[str, dict] = {}
         self.metrics: Dict[str, str] = {}
+        # Real-side stats cache (reference metric_utils.py:374-402): when
+        # cache_dir is set, each split's real moments are computed once and
+        # re-loaded (digest-keyed on detector + split config) on every
+        # subsequent eval — the repeated in-loop FID ticks stop paying the
+        # dataset featurization.
+        self.cache_dir = cache_dir
+        self.detector_name = detector_name
+        self._split_config: Dict[str, dict] = {}
 
-    def add_split(self, name: str, class_to_real: Dict[int, np.ndarray]):
-        """class id → real image batch (NHWC, [-1, 1])."""
+    def add_split(self, name: str, class_to_real: Dict[int, np.ndarray],
+                  config: Optional[dict] = None):
+        """class id → real image batch (NHWC, [-1, 1]). `config` feeds the
+        cache digest (dataset kwargs, resolution, …) — pass anything whose
+        change must invalidate cached real stats."""
         self.splits[name] = class_to_real
+        self._split_config[name] = dict(config or {})
 
     def add_metric(self, name: str, mode: str = "agg"):
         assert mode in ("agg", "sfid", "rfid")
         self.metrics[name] = mode
+
+    def _cache_file(self, split: str, per_class: Optional[int]):
+        if self.cache_dir is None:
+            return None
+        config = dict(self._split_config.get(split, {}))
+        config["max_items_per_class"] = per_class
+        return stats_cache_file(self.cache_dir, split, self.detector_name,
+                                config)
 
     def calc_metric(self, metric: str, split: str, generate_fn,
                     per_class: Optional[int] = None) -> float:
         """generate_fn(cls, count) → fake NHWC batch for that class."""
         mode = self.metrics[metric]
         fid = ConditionalFID(self.feature_fn, max_items_per_class=per_class)
+        cache = self._cache_file(split, per_class)
+        cached = cache is not None and fid.load_real_stats(cache)
         for cls, real in self.splits[split].items():
-            fid.append_real(cls, real)
+            if not cached:
+                fid.append_real(cls, real)
             fid.append_fake(cls, generate_fn(cls, len(real)))
+        if cache is not None and not cached:
+            import jax
+
+            if jax.process_index() == 0:
+                fid.save_real_stats(cache)
         return fid.compute(mode)
 
     def report_metrics(self, split: str, generate_fn) -> Dict[str, float]:

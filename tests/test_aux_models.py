@@ -326,6 +326,50 @@ def test_conditional_metrics_registry():
     assert all(np.isfinite(v) and v > 0 for v in out.values())
 
 
+def test_fid_real_stats_cache(tmp_path):
+    """Second eval of the same split loads cached real moments instead of
+    re-featurizing the dataset (reference metric_utils.py:374-402)."""
+    from stylegan3_editing_tpu.setgan.metrics import (ConditionalMetrics,
+                                                      stats_cache_file)
+
+    calls = {"real": 0}
+    real_ids = set()
+
+    def feature_fn(imgs):
+        if id(imgs) in real_ids:
+            calls["real"] += 1
+        return imgs.reshape(imgs.shape[0], -1)[:, :6]
+
+    real = {0: RNG.randn(64, 2, 2, 2), 1: RNG.randn(64, 2, 2, 2)}
+    real_ids.update(id(v) for v in real.values())
+    rng_fake = np.random.RandomState(7)
+
+    def gen(cls, n):
+        return rng_fake.randn(n, 2, 2, 2) + 0.3
+
+    cm = ConditionalMetrics(feature_fn, cache_dir=tmp_path,
+                            detector_name="toy")
+    cm.add_split("val", real, config={"resolution": 2, "seed": 0})
+    cm.add_metric("fid_agg", "agg")
+    v1 = cm.calc_metric("fid_agg", "val", gen)
+    assert calls["real"] == 2  # both classes featurized once
+    cache = stats_cache_file(tmp_path, "val", "toy",
+                             {"resolution": 2, "seed": 0,
+                              "max_items_per_class": None})
+    assert cache.exists()
+
+    rng_fake.seed(7)  # same fakes → identical metric from cached moments
+    v2 = cm.calc_metric("fid_agg", "val", gen)
+    assert calls["real"] == 2  # cache hit: real side NOT recomputed
+    assert v2 == pytest.approx(v1, rel=1e-9)
+
+    # a config change invalidates the key (fresh digest → recompute)
+    cm.add_split("val", real, config={"resolution": 4, "seed": 0})
+    rng_fake.seed(7)
+    cm.calc_metric("fid_agg", "val", gen)
+    assert calls["real"] == 4
+
+
 def test_profiling_scopes_and_trace(tmp_path):
     """profiled_scope accumulates host times; jax.profiler trace capture
     lands a profile dump (reference misc.profiled_function analogue,
