@@ -134,7 +134,8 @@ def bench_coach(iters: int) -> float:
     return per_step
 
 
-def bench_setgan(iters: int, batch: int = 4) -> float:
+def bench_setgan(iters: int, batch: int = 4,
+                 remat_features: bool = False) -> float:
     """Full SetGAN G+D train step at the reference's canonical stem recipe.
 
     Reference scripts/train_setgan_stem.sh:35-66 trains the stylegan3-t stem
@@ -153,7 +154,8 @@ def bench_setgan(iters: int, batch: int = 4) -> float:
     # default of 14 layers doubles G (and its EMA + Adam copies) vs recipe.
     dec = sg3_t_config(256, channel_base=16384, channel_max=256,
                        num_layers=7)
-    cfg = SetGANTrainConfig(batch_size=batch)
+    cfg = SetGANTrainConfig(batch_size=batch,
+                            d_remat_features=remat_features)
     trainer = SetGANTrainer(cfg, dec)
     rng = np.random.default_rng(0)
     def make_batch():
@@ -221,6 +223,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--backward", default="fused",
                     choices=("fused", "composed"))
+    ap.add_argument("--d_remat_features", action="store_true",
+                    help="remat the frozen D feature trunks — the memory "
+                         "lever for batch 4 on a 16GB chip")
     ap.add_argument("--batch", type=int, default=2,
                     help="setgan candidate sets per step. Default 2 = the "
                          "largest that fit one 16GB v5e chip in round 4; "
@@ -234,7 +239,8 @@ def main():
     if args.what in ("coach", "both"):
         bench_coach(args.iters)
     if args.what == "setgan":
-        bench_setgan(args.iters, args.batch)
+        bench_setgan(args.iters, args.batch,
+                     remat_features=args.d_remat_features)
 
 
 if __name__ == "__main__":

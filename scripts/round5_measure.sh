@@ -38,10 +38,14 @@ run_stage() { # name timeout cmd...
   return $rc
 }
 
-# 60s probe so a wedged tunnel fails fast instead of eating the budget.
-run_stage probe 420 python -c "
+# Probe: execution via the cached matmul path first (claim check), then one
+# small FRESH compile (queue check). Generous timeout — 2026-08-19 22:25 a
+# trivial compile took 81 s through the tunnel; 420 s false-aborted twice.
+run_stage probe 900 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
+(x @ x).block_until_ready()
+print('claim ok')
 print(float(jax.jit(lambda a: (a @ a).sum())(x)))" || {
   echo "TUNNEL WEDGED — aborting round5 measurements" >&2; exit 1; }
 

@@ -97,6 +97,9 @@ class SetGANCliOptions:
     d_attn_heads: int = 4
     d_attn_layers: int = 2
     d_latent: int = 512
+    # Remat the frozen D feature trunks — fits the canonical batch 4/chip
+    # into 16 GB v5e HBM at the cost of one extra trunk forward per backward.
+    d_remat_features: bool = False
     use_set_decoder: bool = True
     use_temperature: bool = False
     disable_style_concat: bool = False
@@ -277,6 +280,7 @@ def main(opts: SetGANCliOptions):
         g_attn_heads=opts.g_attn_heads, g_attn_layers=opts.g_attn_layers,
         d_attn_heads=opts.d_attn_heads, d_attn_layers=opts.d_attn_layers,
         d_latent_size=opts.d_latent,
+        d_remat_features=opts.d_remat_features,
         use_set_decoder=opts.use_set_decoder,
         use_temperature=opts.use_temperature,
         disable_style_concat=opts.disable_style_concat,

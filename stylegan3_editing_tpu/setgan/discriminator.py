@@ -99,10 +99,19 @@ class FeatureProjector(nn.Module):
     proj_type: int = 2  # 0 none, 1 CCM, 2 CCM+CSM
     expand: bool = True
     backbone: str = "vgg16_proj"
+    # Rematerialize the frozen trunk: its activations are pure recompute
+    # (weights never train), so remat trades one extra trunk forward in the
+    # backward for the whole activation footprint — the lever that fits the
+    # reference's canonical batch 4/chip into 16 GB v5e HBM (VERDICT r4 #4;
+    # the shortfall was 554 MB of 16.29 G). Off by default: single-batch
+    # runs that fit should not pay the recompute.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
         module = resolve_backbone(self.backbone)[0]
+        if self.remat:
+            module = nn.remat(module)
         feats = module(name="backbone")(x)
         if self.backbone == "vgg16_proj":
             feats = feats[1:]  # 4 stages: /2../16
@@ -265,6 +274,7 @@ class ProjectedSetDiscriminator(nn.Module):
     backbones: Tuple[str, ...] = ("vgg16_proj",)
     attn_heads: int = 4
     attn_layers: int = 2
+    remat_features: bool = False  # remat the frozen trunks (see FeatureProjector)
 
     @nn.compact
     def __call__(self, r: jax.Array, x: jax.Array,
@@ -310,7 +320,8 @@ class ProjectedSetDiscriminator(nn.Module):
                 x_n = resize_bilinear(x_n, in_res)
                 r_n = resize_bilinear(r_n, in_res)
 
-            proj = FeatureProjector(backbone=bb, name=f"proj_{bb}")
+            proj = FeatureProjector(backbone=bb, remat=self.remat_features,
+                                    name=f"proj_{bb}")
             x_feats = {k: to_set(v, b) for k, v in proj(x_n).items()}
             r_feats = {k: to_set(v, b) for k, v in proj(r_n).items()}
             # stage-0 resolution: /2 for the VGG/tiny stacks, /4 for

@@ -160,6 +160,29 @@ def test_projected_set_discriminator(setgan_model):
     assert any(flags) and not all(flags)  # projector frozen, discs trainable
 
 
+def test_projected_set_discriminator_remat_features():
+    """remat_features must keep params, outputs, and input grads identical —
+    it only changes what the backward stores (frozen-trunk recompute)."""
+    r = jnp.asarray(RNG.randn(1, 2, 32, 32, 3).astype(np.float32))
+    x = jnp.asarray(RNG.randn(1, 2, 32, 32, 3).astype(np.float32))
+    outs = {}
+    for remat in (False, True):
+        d = ProjectedSetDiscriminator(latent_size=32, num_discs=2,
+                                      interp224=False, diffaug=False,
+                                      backbones=("tiny_proj",),
+                                      remat_features=remat)
+        v = d.init(jax.random.PRNGKey(0), r, x)
+        loss = lambda xx, _d=d, _v=v: jnp.sum(_d.apply(_v, r, xx))
+        outs[remat] = (v, float(loss(x)), jax.grad(loss)(x))
+    # identical param trees (remat is a lifted transform, not a reparam)
+    assert (jax.tree_util.tree_structure(outs[False][0])
+            == jax.tree_util.tree_structure(outs[True][0]))
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[False][2]),
+                               np.asarray(outs[True][2]), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_diffaugment_shapes_and_determinism():
     x = jnp.asarray(RNG.rand(3, 32, 32, 3).astype(np.float32) * 2 - 1)
     k = jax.random.PRNGKey(0)
