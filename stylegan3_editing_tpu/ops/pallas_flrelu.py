@@ -282,6 +282,38 @@ def _truncate_rank_terms(terms, tol: Optional[float] = None):
     return keep
 
 
+def _truncate_taps_1d(taps: np.ndarray, tol: Optional[float] = None
+                      ) -> np.ndarray:
+    """Zero negligible 1-D up-filter taps — bf16 layers only.
+
+    Same bounded-RSS policy as the radial-fd rank/tap truncation
+    (`_truncate_rank_terms` move (b)): zero the smallest-|tap| entries while
+    the accumulated RSS error stays ≤ tol·‖taps‖₂. The FMA chains skip
+    zero taps, so each zeroed tap saves one vector FMA on the up grid with
+    NO geometry change. At the default 3e-3 the SG3-R 12-tap Kaiser designs
+    lose their 2 outermost taps (|tap| ≈ 1.4-2.0e-3 relative — below
+    bf16's own ~4e-3 resolution); the ×4 24-tap designs lose 0-4.
+    SG3TPU_FU_TAP_TOL=0 disables.
+    """
+    import os
+
+    if tol is None:
+        tol = float(os.environ.get("SG3TPU_FU_TAP_TOL", "3e-3"))
+    if tol <= 0:
+        return taps
+    norm = float(np.linalg.norm(taps))
+    budget = (tol * norm) ** 2
+    out = np.asarray(taps, np.float64).copy()
+    spent = 0.0
+    for i in np.argsort(np.abs(out)):
+        err2 = float(out[i]) ** 2
+        if err2 == 0.0 or spent + err2 > budget:
+            continue
+        spent += err2
+        out[i] = 0.0
+    return out
+
+
 def _auto_down_mode(up: int) -> str:
     """Measured per-geometry down-engine choice (BASELINE.md round-4 table).
 
@@ -692,6 +724,8 @@ def fused_filtered_lrelu(
     # Correlation-order taps with gains folded (upfirdn2d composition:
     # up pass gain=up² → ×up per axis; down pass gain=1).
     fu_c = fu[::-1] * up
+    if x.dtype == jnp.bfloat16:
+        fu_c = _truncate_taps_1d(fu_c)
     if fd.ndim == 1:
         fd_c = fd[::-1]
         terms = [(fd_c, fd_c)]
@@ -1029,8 +1063,12 @@ def fused_filtered_lrelu_bwd(
             terms = _truncate_rank_terms(terms)  # match the forward's rank
         up_terms = [(col * 2.0, row * 2.0) for col, row in terms]
     # Down taps from fu, unflipped; the overall gain·u²/d² applies at the
-    # mask stage (point_gain).
+    # mask stage (point_gain). bf16 tap truncation mirrors the forward: the
+    # true gradient of a truncated-tap forward transposes the SAME
+    # truncated taps.
     down_taps = np.asarray(fu, np.float64)
+    if dy.dtype == jnp.bfloat16:
+        down_taps = _truncate_taps_1d(down_taps)
     point_gain = gain * (up ** 2) / (down ** 2)
 
     # For up == 4 the true output stride is 4: compute stride-2, slice after.
@@ -1064,6 +1102,8 @@ def fused_filtered_lrelu_bwd(
     # pad0 = tu − 1 (derivation: y_fwd = y_bwd + pad − (tu − 1) folds into
     # the pad), forward taps with the forward's gain folding.
     fu_mask = fu[::-1] * up
+    if dy.dtype == jnp.bfloat16:
+        fu_mask = _truncate_taps_1d(fu_mask)  # match the forward's A
     plan_m_h = _AxisPlan(xh, tm, fu_mask, tu_h, up, tu_h - 1,
                          4 * (tu_h + tm))
     plan_m_w = _AxisPlan(xw, tw, fu_mask, tu_w, up, tu_w - 1,
