@@ -151,8 +151,18 @@ def main():
         try:
             float(run(*run_args, 0))
         except Exception as e:
-            print(f"{L.name:16s} {tag:10s} COMPILE-FAIL: {str(e)[:160]}",
-                  flush=True)
+            # The axon helper buries the REAL error (OOM/Mosaic/layout) in
+            # the exception text's log lines — keep enough to grep it.
+            msg = str(e)
+            for key in ("Ran out of memory", "Mosaic", "RESOURCE_EXHAUSTED",
+                        "exceeded", "Scoped allocation"):
+                i = msg.find(key)
+                if i >= 0:
+                    msg = msg[max(0, i - 200):i + 400]
+                    break
+            else:
+                msg = msg[:600]
+            print(f"{L.name:16s} {tag:10s} COMPILE-FAIL: {msg}", flush=True)
             continue
         t0 = time.perf_counter()
         float(run(*run_args, 1))

@@ -35,6 +35,13 @@ x = jnp.ones((256, 256))
 (x @ x).block_until_ready()
 print('claim ok')" || { echo "TUNNEL WEDGED — abort" >&2; exit 1; }
 
+# Stage 0b: retry the L3 backward-MXU compile failure with full error
+# capture (round-5 shootout: opaque HTTP 500; every sibling geometry
+# compiled — suspected transient).
+run_stage l3_bwd_mxu_retry 2400 env SG3TPU_FLRELU_DOWN_BWD=mxu \
+  python scripts/microbench_flrelu.py --mode bwd --batch 1 --iters 8 \
+  --layers L3
+
 # Stage 1: full forward matrix, new defaults (bf16 layers recompile).
 run_stage fwd_b8_trunc 7200 \
   python scripts/microbench_flrelu.py --batch 8 --iters 4

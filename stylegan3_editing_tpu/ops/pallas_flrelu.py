@@ -1141,11 +1141,13 @@ def fused_filtered_lrelu_bwd(
         "SG3TPU_FLRELU_DOWN_BWD",
         _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto"))
     if down_mode == "auto":
-        # The backward kernel's MXU down-stage is exactness-tested but has
-        # no chip measurement yet (round-4 table covers forward only), so
-        # 'auto' stays on the measured-good VPU chains here. Set the env to
-        # 'mxu' explicitly to force it in both directions.
-        down_mode = "vpu"
+        # Measured round 5 (BASELINE.md backward engine shootout): the
+        # banded-MXU down-stage wins on EVERY backward geometry — unlike
+        # the forward, the backward's down pass is always 2-phase (u_b=2),
+        # so even the ×4-up layers take the win (L10 bwd 173→114 ms b1;
+        # hot-layer totals 484→313 ms b1, 1057→612 ms b8). CPU/interpret
+        # keeps the VPU chains.
+        down_mode = "mxu" if jax.default_backend() == "tpu" else "vpu"
     mxu_kw = {}
     extra_operands = []
     extra_specs = []
