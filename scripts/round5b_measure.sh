@@ -46,17 +46,25 @@ run_stage l3_bwd_mxu_retry 2400 env SG3TPU_FLRELU_DOWN_BWD=mxu \
 run_stage fwd_b8_trunc 7200 \
   python scripts/microbench_flrelu.py --batch 8 --iters 4
 
-# Stage 2: L10 with the up pass on the MXU, down on VPU (canary b2 first).
-run_stage l10_upmxu_b2 2400 env SG3TPU_FLRELU_UP=mxu SG3TPU_FLRELU_DOWN=vpu \
-  python scripts/microbench_flrelu.py --batch 2 --iters 8 --layers L10 || {
-  echo "up=mxu canary failed — skipping stage 2b/3" >&2; SKIP_UPMXU=1; }
-if [ "${SKIP_UPMXU:-0}" != "1" ]; then
-  run_stage l10_upmxu_b8 2400 env SG3TPU_FLRELU_UP=mxu SG3TPU_FLRELU_DOWN=vpu \
+# Stage 2: L10 down-pass attack. Ablation (round-5, /tmp/r5_l10_ab_*.log)
+# says the down-W stage alone is ~115-134 ms of L10's 253 ms at batch 8 and
+# the whole up-pass only ~50 ms — so the lever is making the 4-phase
+# down-MXU viable. Round-4 measured it 0.79x at the default 9 MB tile
+# budget ([16, ~20] dots = ~2% MXU utilization); fatter tiles quadruple
+# both dot dims. The 9 MB plateau was a VPU-scheduling result — re-test
+# under the MXU engine.
+for bud in 18 36; do
+  run_stage l10_downmxu_bud${bud}_b8 2700 env SG3TPU_FLRELU_DOWN=mxu \
+    SG3TPU_FLRELU_BUDGET_MB=$bud \
     python scripts/microbench_flrelu.py --batch 8 --iters 4 --layers L10
-  run_stage l10_upmxu_bud18_b8 2400 env SG3TPU_FLRELU_UP=mxu \
-    SG3TPU_FLRELU_DOWN=vpu SG3TPU_FLRELU_BUDGET_MB=18 \
-    python scripts/microbench_flrelu.py --batch 8 --iters 4 --layers L10
-fi
+done
+# VPU down at budget 18 (control: does L10-VPU also like fatter tiles?)
+run_stage l10_vpu_bud18_b8 2700 env SG3TPU_FLRELU_DOWN=vpu \
+  SG3TPU_FLRELU_BUDGET_MB=18 \
+  python scripts/microbench_flrelu.py --batch 8 --iters 4 --layers L10
+# Up=mxu sanity point (cheap; theory says ~50 ms ceiling on the win)
+run_stage l10_upmxu_b8 2700 env SG3TPU_FLRELU_UP=mxu SG3TPU_FLRELU_DOWN=vpu \
+  python scripts/microbench_flrelu.py --batch 8 --iters 4 --layers L10
 
 # Stage 4: end-to-end with new defaults.
 run_stage bench_trunc 5400 sh -c 'python bench.py > /tmp/r5b_bench.json 2>/tmp/r5b_bench.err'

