@@ -360,6 +360,73 @@ def _down_matrices(terms, u: int, classes: int, count: int, q_count: int,
     return mats
 
 
+def _down_matrices_shared_w(terms, u: int, classes: int, count: int,
+                            q_count: int, phases) -> np.ndarray:
+    """W-stage matrix of the PHASE-SHARED MXU down-pass
+    (SG3TPU_FLRELU_DOWN=mxu_shared).
+
+    The round-4 per-plane banding (`_down_matrices`) loses on u=4: the
+    4-phase read plan splits the work into R·classes·u tiny dots whose
+    contraction dim is one plane's q_count (~27 rows) — ~2% MXU
+    utilization. Here the ACTIVE phase planes are concatenated along the
+    contraction axis (plane-major: column p_i·q_count + q) and the
+    (rank, parity-class) pairs stack into the output rows
+    (row (r·classes + a)·count + j), so the whole W down-stage per H-plane
+    is ONE [R·classes·count, P·q_count] dot — u=2-sized operands, the
+    regime where banding measured 1.37-1.59× wins.
+    """
+    pos = {p: i for i, p in enumerate(phases)}
+    m = np.zeros((len(terms) * classes * count, len(phases) * q_count),
+                 np.float32)
+    for r, term in enumerate(terms):
+        taps = term[1]
+        for a in range(classes):
+            for t in range(len(taps)):
+                v = float(taps[t])
+                if v == 0.0:
+                    continue
+                y = 2 * a + t
+                p, off = y % u, y // u
+                if p not in pos:
+                    continue  # inactive plane: the other split half owns it
+                for j in range(count):
+                    q = off + j
+                    if q < q_count:
+                        m[(r * classes + a) * count + j,
+                          pos[p] * q_count + q] += v
+    return m
+
+
+def _down_matrices_shared_h(terms, u: int, classes: int, count: int,
+                            q_count: int, phases) -> np.ndarray:
+    """H-stage matrix of the phase-shared MXU down-pass: ranks move into
+    the CONTRACTION dim (the rank sum Σ_r col_r⊗row_r happens inside the
+    dot) alongside the H phase planes — column (r·P + p_i)·q_count + q,
+    blocks (rank, phase)-major — while only the H parity classes stack
+    into the output rows (row a·count + j). One [classes·count,
+    R·P·q_count] dot per W parity class finishes the whole down pass."""
+    pos = {p: i for i, p in enumerate(phases)}
+    n_p = len(phases)
+    m = np.zeros((classes * count, len(terms) * n_p * q_count), np.float32)
+    for r, term in enumerate(terms):
+        taps = term[0]
+        for a in range(classes):
+            for t in range(len(taps)):
+                v = float(taps[t])
+                if v == 0.0:
+                    continue
+                y = 2 * a + t
+                p, off = y % u, y // u
+                if p not in pos:
+                    continue
+                for j in range(count):
+                    q = off + j
+                    if q < q_count:
+                        m[a * count + j,
+                          (r * n_p + pos[p]) * q_count + q] += v
+    return m
+
+
 def _up_matrices(plan: "_AxisPlan", in_len: int) -> np.ndarray:
     """Banded matrices for the MXU up-pass (SG3TPU_FLRELU_UP=mxu): one
     [q_count, in_len] matrix per phase plane — plane_p[q] = Σ_j
@@ -457,13 +524,15 @@ def _flrelu_kernel_extra(x_ref, b_ref, *rest, extra_names, **kw):
     o_ref, xt, sem = rest[n], rest[n + 1], rest[n + 2]
     _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem,
                    mw_ref=refs.get("mw"), mh_ref=refs.get("mh"),
+                   msw_ref=refs.get("msw"), msh_ref=refs.get("msh"),
                    uw_ref=refs.get("uw"), uh_ref=refs.get("uh"), **kw)
 
 
 def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
                    terms, slope, gain, clamp, u, dims,
                    compute_dtype=jnp.float32, w_phases=None,
-                   mw_ref=None, mh_ref=None, uw_ref=None, uh_ref=None,
+                   mw_ref=None, mh_ref=None, msw_ref=None, msh_ref=None,
+                   uw_ref=None, uh_ref=None,
                    mxu_prec=None, mxu_cast=None):
     """One output tile per 1-D grid step, with double-buffered input DMA:
     step k waits on the tile prefetched at step k-1 and starts step k+1's
@@ -560,6 +629,39 @@ def _flrelu_kernel(x_ref, b_ref, o_ref, xt, sem, *, plan_h, plan_w,
                     prev = out_acc[a_h][a_w]
                     out_acc[a_h][a_w] = cols[a_h] if prev is None \
                         else prev + cols[a_h]
+    elif msw_ref is not None:
+        # Phase-shared MXU down (`_down_matrices_shared_*`): per H-plane,
+        # concatenate the active W-planes along the contraction axis and
+        # run ONE dot covering every (rank, W-class); then per W-class,
+        # concatenate the (rank, H-plane) slices and one dot finishes the
+        # H stage with the rank sum inside the contraction.
+        n_r = len(terms)
+
+        def _dot2(m, x_in):
+            if mxu_cast is not None:
+                m = m.astype(mxu_cast)
+                x_in = x_in.astype(mxu_cast)
+            return lax.dot_general(m, x_in, (((1,), (1,)), ((), ())),
+                                   precision=mxu_prec,
+                                   preferred_element_type=jnp.float32)
+
+        def _cat1(arrs):
+            return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs,
+                                                                  axis=1)
+
+        msw = msw_ref[...]
+        msh = msh_ref[...]
+        dw_of = []  # per p_h: [R·classes_w·tw, Qh, C]
+        for p_h in range(u):
+            cat = _cat1([a_planes[p_h][p_w] for p_w in active_w])
+            dw_of.append(_dot2(msw, cat))
+        for a_w in range(classes_w):
+            blocks = [dw_of[p_h][(r * classes_w + a_w) * tw:
+                                 (r * classes_w + a_w + 1) * tw]
+                      for r in range(n_r) for p_h in range(u)]
+            outs = _dot2(msh, _cat1(blocks))  # [classes_h·th, tw, C]
+            for a_h in range(classes_h):
+                out_acc[a_h][a_w] = outs[a_h * th:(a_h + 1) * th]
     else:
         for col_taps, row_taps in terms:
             dw = [_down_pass(a_planes[p_h], row_taps, u, axis=1, count=tw,
@@ -795,18 +897,27 @@ def fused_filtered_lrelu(
                                            plan_w.q_count, which=1)))
         extra.append(("mh", _down_matrices(terms, up, classes, tm // classes,
                                            plan_h.q_count, which=0)))
+    elif down_mode in ("mxu_shared", "mxu_shared_bf16"):
+        aw = tuple(range(up)) if w_phases is None else tuple(w_phases)
+        extra.append(("msw", _down_matrices_shared_w(
+            terms, up, classes, tw // classes, plan_w.q_count, aw)))
+        extra.append(("msh", _down_matrices_shared_h(
+            terms, up, classes, tm // classes, plan_h.q_count,
+            tuple(range(up)))))
     if up_mode in ("mxu", "mxu_bf16"):
         extra.append(("uw", _up_matrices(plan_w, plan_w.in_tile)))
         extra.append(("uh", _up_matrices(plan_h, plan_h.in_tile)))
     if extra:
-        bf16_req = "mxu_bf16" in (down_mode, up_mode)
+        bf16_req = down_mode in ("mxu_bf16", "mxu_shared_bf16") \
+            or up_mode == "mxu_bf16"
         mxu_kw = dict(
             mxu_prec=(lax.Precision.HIGHEST if dtype == jnp.float32
                       else lax.Precision.DEFAULT),
             mxu_cast=jnp.bfloat16 if bf16_req else None)
     extra_operands = [jnp.asarray(m) for _, m in extra]
     extra_specs = [
-        pl.BlockSpec(m.shape, lambda k: (0, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(m.shape, (lambda nd: lambda k: (0,) * nd)(m.ndim),
+                     memory_space=pltpu.VMEM)
         for _, m in extra]
     if extra:
         kernel = functools.partial(

@@ -341,6 +341,15 @@ def test_fused_filtered_lrelu_mxu_down_pass():
             want = fused_filtered_lrelu(*args)
             os.environ["SG3TPU_FLRELU_DOWN"] = "mxu"
             got = fused_filtered_lrelu(*args)
+            os.environ["SG3TPU_FLRELU_DOWN"] = "mxu_shared"
+            got_shared = fused_filtered_lrelu(*args)
+            got_shared_native = None
+            if u == 4:
+                # Single 16-plane kernel (no split) under the shared engine.
+                os.environ["SG3TPU_FLRELU_U4"] = "native"
+                got_shared_native = fused_filtered_lrelu(*args)
+                os.environ.pop("SG3TPU_FLRELU_U4", None)
+            os.environ["SG3TPU_FLRELU_DOWN"] = "mxu"
             os.environ["SG3TPU_FLRELU_UP"] = "mxu"  # both engines on MXU
             got_up = fused_filtered_lrelu(*args)
         finally:
@@ -354,6 +363,14 @@ def test_fused_filtered_lrelu_mxu_down_pass():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-6, rtol=2e-6,
                                    err_msg=f"u={u} radial={radial}")
+        np.testing.assert_allclose(np.asarray(got_shared), np.asarray(want),
+                                   atol=2e-6, rtol=2e-6,
+                                   err_msg=f"shared u={u} radial={radial}")
+        if got_shared_native is not None:
+            np.testing.assert_allclose(
+                np.asarray(got_shared_native), np.asarray(want),
+                atol=2e-6, rtol=2e-6,
+                err_msg=f"shared-native u={u} radial={radial}")
         np.testing.assert_allclose(np.asarray(got_up), np.asarray(want),
                                    atol=2e-6, rtol=2e-6,
                                    err_msg=f"up-mxu u={u} radial={radial}")
