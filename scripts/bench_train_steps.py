@@ -135,7 +135,8 @@ def bench_coach(iters: int) -> float:
 
 
 def bench_setgan(iters: int, batch: int = 4,
-                 remat_features: bool = False) -> float:
+                 remat_features: bool = False,
+                 remat_encoder: bool = False) -> float:
     """Full SetGAN G+D train step at the reference's canonical stem recipe.
 
     Reference scripts/train_setgan_stem.sh:35-66 trains the stylegan3-t stem
@@ -155,7 +156,8 @@ def bench_setgan(iters: int, batch: int = 4,
     dec = sg3_t_config(256, channel_base=16384, channel_max=256,
                        num_layers=7)
     cfg = SetGANTrainConfig(batch_size=batch,
-                            d_remat_features=remat_features)
+                            d_remat_features=remat_features,
+                            g_remat_encoder=remat_encoder)
     trainer = SetGANTrainer(cfg, dec)
     rng = np.random.default_rng(0)
     def make_batch():
@@ -226,6 +228,10 @@ def main():
     ap.add_argument("--d_remat_features", action="store_true",
                     help="remat the frozen D feature trunks — the memory "
                          "lever for batch 4 on a 16GB chip")
+    ap.add_argument("--g_remat_encoder", action="store_true",
+                    help="remat the reference-set encoder trunk — the "
+                         "measured batch-4 HBM floor (round-5g breakdown) "
+                         "is its B*R x 256^2 IR-SE activations")
     ap.add_argument("--batch", type=int, default=2,
                     help="setgan candidate sets per step. Default 2 = the "
                          "largest that fit one 16GB v5e chip in round 4; "
@@ -240,7 +246,8 @@ def main():
         bench_coach(args.iters)
     if args.what == "setgan":
         bench_setgan(args.iters, args.batch,
-                     remat_features=args.d_remat_features)
+                     remat_features=args.d_remat_features,
+                     remat_encoder=args.g_remat_encoder)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,18 @@ def main():
                     help="also time the pipeline's stages separately "
                          "(encoder / single decode / dual decode) and print "
                          "the per-frame ms split")
+    ap.add_argument("--split", action="store_true",
+                    help="skip the one-program pipeline and report fps from "
+                         "the stage sum — the shape production "
+                         "(inference_on_video.py) actually runs (separate "
+                         "jitted calls), and the only shape that fits HBM "
+                         "past frame-batch 2 at 1024² (the single program "
+                         "needs 19.35G at frame-batch 4 — measured round-5c)")
+    ap.add_argument("--bf16-decode", action="store_true",
+                    help="decode ReStyle iterations + edit render with the "
+                         "generator's bf16 layers (VideoConfig.bf16_decode; "
+                         "the reference protocol is force_fp32 — see "
+                         "run_restyle_iterations docstring)")
     args = ap.parse_args()
 
     from stylegan3_editing_tpu.models.encoders.restyle import (
@@ -65,15 +77,18 @@ def main():
     direction = jax.random.normal(jax.random.PRNGKey(1), (512,)) * 0.05
     lt = jnp.eye(3, dtype=jnp.float32)
 
+    f32 = not args.bf16_decode
+
     def pipeline(variables, avg_image, latent_avg, x):
         results = run_restyle_iterations(
             model, variables, x, avg_image, latent_avg,
-            n_iters=args.n_restyle, landmarks_transform=lt, resize=True)
+            n_iters=args.n_restyle, landmarks_transform=lt, resize=True,
+            force_fp32=f32)
         _, unaligned, codes = results[-1]
         edited, _ = model.apply(
             variables, codes + direction[None, None], input_code=True,
             landmarks_transform=lt, return_aligned_and_unaligned=False,
-            resize=False, method=model.__call__)
+            resize=False, force_fp32=f32, method=model.__call__)
         return unaligned, edited
 
     def body(variables, avg_image, latent_avg, seed):
@@ -104,19 +119,28 @@ def main():
     # Weights must be jit ARGUMENTS: a closure-captured variables tree is
     # inlined into the HLO as constants, and the serialized program then
     # exceeds the axon remote-compile helper's request-size cap (HTTP 413).
-    run = jax.jit(body)
-    t0 = time.perf_counter()
-    float(run(variables, avg_image, latent_avg, 0))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(variables, avg_image, latent_avg, 1))
-    dt = time.perf_counter() - t0
-    fps = args.batch * args.iters / dt
-    print(f"video inversion+edit: {fps:.3f} frames/s "
-          f"({args.n_restyle} ReStyle iters + edit render at {res_label}, "
-          f"batch {args.batch}; compile+first {compile_s:.0f} s)", flush=True)
+    fps = None
+    if not args.split:
+        try:
+            run = jax.jit(body)
+            t0 = time.perf_counter()
+            float(run(variables, avg_image, latent_avg, 0))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run(variables, avg_image, latent_avg, 1))
+            dt = time.perf_counter() - t0
+            fps = args.batch * args.iters / dt
+            print(f"video inversion+edit: {fps:.3f} frames/s "
+                  f"({args.n_restyle} ReStyle iters + edit render at "
+                  f"{res_label}, batch {args.batch}; compile+first "
+                  f"{compile_s:.0f} s)", flush=True)
+        except Exception as e:  # HBM OOM past frame-batch 2 → stage sum
+            print(f"one-program pipeline failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}) — falling back to stage-sum timing",
+                  flush=True)
+            args.stages = True
 
-    if args.stages:
+    if args.stages or fps is None:
         # Per-stage timings (VERDICT r4 weak #5): where does a frame's time
         # go? Chained loops per stage; per-frame pipeline counts are
         # n ReStyle iters × (encode + dual decode) + 1 edit render.
@@ -142,28 +166,35 @@ def main():
         def dec1_call(i, v):
             img, _ = model.apply(v, codes0 * (1 + 1e-6 * i),
                                  landmarks_transform=None, resize=False,
-                                 method=model.decode)
+                                 force_fp32=f32, method=model.decode)
             return jnp.sum(img, dtype=jnp.float32)
 
         def dec2_call(i, v):
             img, un = model.apply(v, codes0 * (1 + 1e-6 * i),
                                   landmarks_transform=lt, resize=True,
-                                  method=model.decode)
+                                  force_fp32=f32, method=model.decode)
             return jnp.sum(img, dtype=jnp.float32) + jnp.sum(
                 un, dtype=jnp.float32)
 
         enc_ms = time_chained(enc_call, variables, avg_image, latent_avg)
         dec1_ms = time_chained(dec1_call, variables)
         dec2_ms = time_chained(dec2_call, variables)
-        frame_ms = args.batch * 1e3 / fps
         n = args.n_restyle
         acc = n * (enc_ms + dec2_ms) + dec1_ms
         print(f"stage split (ms per batch-{args.batch} call): "
               f"encoder256 {enc_ms:.1f} | dual-decode{res_label} "
               f"{dec2_ms:.1f} | single-decode/edit {dec1_ms:.1f}")
-        print(f"per frame-batch: {n}x(enc+dual) + edit = {acc:.0f} ms "
-              f"vs measured pipeline {frame_ms * args.batch / args.batch:.0f}"
-              f" ms (residual = fusion/overhead)", flush=True)
+        if fps is None:
+            fps = args.batch * 1e3 / acc
+            print(f"video inversion+edit (split-program): {fps:.3f} "
+                  f"frames/s ({n} ReStyle iters + edit render at "
+                  f"{res_label}, batch {args.batch}, stage-sum "
+                  f"{acc:.0f} ms)", flush=True)
+        else:
+            frame_ms = args.batch * 1e3 / fps
+            print(f"per frame-batch: {n}x(enc+dual) + edit = {acc:.0f} ms "
+                  f"vs measured pipeline {frame_ms:.0f}"
+                  f" ms (residual = fusion/overhead)", flush=True)
 
 
 if __name__ == "__main__":

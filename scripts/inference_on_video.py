@@ -77,7 +77,8 @@ def run_inference_on_video(opts: VideoConfig):
         results = run_restyle_iterations(model, variables, x, avg_image,
                                          latent_avg,
                                          n_iters=opts.n_iters_per_batch,
-                                         landmarks_transform=lmt)
+                                         landmarks_transform=lmt,
+                                         force_fp32=not opts.bf16_decode)
         final_codes = results[-1][2]
         for bi, n in enumerate(batch_names):
             result_latents[n] = np.asarray(final_codes[bi])

@@ -100,6 +100,9 @@ class SetGANCliOptions:
     # Remat the frozen D feature trunks — fits the canonical batch 4/chip
     # into 16 GB v5e HBM at the cost of one extra trunk forward per backward.
     d_remat_features: bool = False
+    # Remat the reference-set encoder trunk (the measured batch-4 HBM floor
+    # is its B*R x 256^2 IR-SE activations, not the D trunks).
+    g_remat_encoder: bool = False
     use_set_decoder: bool = True
     use_temperature: bool = False
     disable_style_concat: bool = False
@@ -281,6 +284,7 @@ def main(opts: SetGANCliOptions):
         d_attn_heads=opts.d_attn_heads, d_attn_layers=opts.d_attn_layers,
         d_latent_size=opts.d_latent,
         d_remat_features=opts.d_remat_features,
+        g_remat_encoder=opts.g_remat_encoder,
         use_set_decoder=opts.use_set_decoder,
         use_temperature=opts.use_temperature,
         disable_style_concat=opts.disable_style_concat,

@@ -36,7 +36,9 @@ ARGS=(
   --restyle_mode none --restyle_iters 1
   --no_mean_center true
   --data_augmentation true        # reference --mirror=1
-  --d_remat_features true         # frozen-trunk remat: batch 4/chip fits 16GB
+  --d_remat_features true         # frozen D-trunk remat
+  --g_remat_encoder true          # encoder-trunk remat: the measured HBM
+                                  # floor at batch 4/chip (round-5g)
   --snapshot_ticks 10
   --encoder_res "$RES"            # reference --encoder_res -1 (train res)
 )

@@ -151,12 +151,19 @@ def run_restyle_iterations(
     n_iters: int = 3,
     landmarks_transform=None,
     resize: bool = True,
+    force_fp32: bool = True,
 ):
     """Iterative ReStyle inversion (inference).
 
     Parity: utils/inference_utils.py:67-111 `run_on_batch`. Returns lists of
     per-iteration (aligned, unaligned, codes). Unrolled python loop — each
     iteration feeds the previous reconstruction as input channels 4-6.
+
+    `force_fp32=True` matches the reference protocol (psp3.py/e4e3.py decode
+    with force_fp32=True); False runs the decoder's bf16 layers — NVIDIA's
+    own SG3 inference default (gen_images-style, force_fp32=False) — which
+    halves 1024² decode HBM traffic and is the knob that fits frame batches
+    > 2 on a 16 GB chip (MIGRATION.md video notes).
     """
     n = x.shape[0]
     y_hat = jnp.broadcast_to(avg_image[None], (n,) + avg_image.shape)
@@ -168,11 +175,12 @@ def run_restyle_iterations(
             aligned, unaligned, codes = model.apply(
                 variables, x_input, latent=latent, latent_avg=latent_avg,
                 landmarks_transform=landmarks_transform,
-                return_aligned_and_unaligned=True, resize=resize)
+                return_aligned_and_unaligned=True, resize=resize,
+                force_fp32=force_fp32)
         else:
             aligned, codes = model.apply(
                 variables, x_input, latent=latent, latent_avg=latent_avg,
-                resize=resize)
+                resize=resize, force_fp32=force_fp32)
             unaligned = None
         results.append((aligned, unaligned, codes))
         latent = codes

@@ -314,19 +314,53 @@ def _truncate_taps_1d(taps: np.ndarray, tol: Optional[float] = None
     return out
 
 
-def _auto_down_mode(up: int) -> str:
-    """Measured per-geometry down-engine choice (BASELINE.md round-4 table).
+def _auto_down_mode(up: int, h: Optional[int] = None,
+                    c: Optional[int] = None) -> Tuple[str, Optional[int]]:
+    """Measured per-geometry down-engine choice → (mode, tile_budget_MB).
 
-    On the v5e chip the banded-MXU down-pass beats the VPU FMA chains on
-    every up=2 geometry measured (L11 84.2→38.5 ms, L12 24.0→18.6,
-    L13 22.9→18.0 at batch 2) but ties/loses on the 4-phase up=4 layer
-    (L10 87.9→89.3) — the ×4 polyphase read plan quadruples the matrix
-    count and the banding waste eats the MXU:VPU ratio. CPU/interpret
-    keeps the VPU path (no MXU to ride; simpler interpreted kernel).
+    `c` is the post-fold n·C the kernel actually sees on its lane axis
+    (the batch→lane fold merges n into c; for unfolded inputs the caller
+    multiplies n·C itself so the gates below see the same quantity either
+    way). `h` is the input height, fold-invariant.
+
+    Round-4 rule (BASELINE.md round-4 table): the banded per-plane MXU
+    down-pass beats the VPU FMA chains on every up=2 geometry measured
+    (L11 84.2→38.5 ms, L12 24.0→18.6, L13 22.9→18.0 at batch 2) but loses
+    on up=4 — the ×4 polyphase read plan splits into R·classes·u tiny dots.
+
+    Round-5 refinements (BASELINE.md round-5 shared-engine shootout, batch
+    2/8 clean matrices on the v5e chip) — the PHASE-SHARED engine
+    (`mxu_shared`, one dot per stage) wins on exactly these SG3-R flagship
+    geometries and is adopted for them; keys are the post-lane-fold shapes
+    the dispatch actually sees (h is fold-invariant; c folds to n·C):
+
+    - L11 (up=2, in 1044², C=102): shared 123.3 vs per-plane 131.4 ms at
+      batch 8 (replicated ×2), tie at batch 2 (38.16 vs 38.50) — adopted
+      at every batch.
+    - L9 (up=4, in 276², C=256, never folds): shared 103.6 vs VPU 121.1 ms
+      at batch 8, 30.86 vs 34.30 at batch 2 — adopted at batch ≥ 2
+      (batch 1 unmeasured, stays vpu).
+    - L10 (up=4, in 532², C=161): shared at an 18 MB tile budget 250.4/
+      250.7 vs 253.9 VPU at batch 8 (replicated ×2); at batch ≤4 every
+      engine loses to VPU (b1 52.6 vs 51.2, b4 146.4 vs 141.6) — adopted
+      only at folded batch ≥ 8 (c ≥ 8·161).
+
+    Everything else keeps the round-4 rule. CPU/interpret keeps the VPU
+    path (no MXU to ride; simpler interpreted kernel).
     """
     if jax.default_backend() != "tpu":
-        return "vpu"
-    return "mxu" if up == 2 else "vpu"
+        return "vpu", None
+    if up == 2:
+        if h == 1044 and c is not None and c % 102 == 0:
+            return "mxu_shared", None  # L11 geometry
+        return "mxu", None
+    if up == 4 and h == 276 and c is not None and c % 256 == 0 \
+            and c >= 2 * 256:
+        return "mxu_shared", None  # L9 geometry at batch ≥ 2
+    if up == 4 and h == 532 and c is not None and c % 161 == 0 \
+            and c >= 8 * 161:
+        return "mxu_shared", 18  # L10 geometry at the bench batch
+    return "vpu", None
 
 
 def _down_matrices(terms, u: int, classes: int, count: int, q_count: int,
@@ -845,11 +879,23 @@ def fused_filtered_lrelu(
     esize = jnp.dtype(dtype).itemsize
 
     w_align = 16  # bf16 sublane tile; safe for fp32 too
+    # Down-pass engine, resolved BEFORE tile planning (the per-geometry
+    # table can override the tile budget — L10's measured shared win only
+    # exists at 18 MB tiles). Env knob wins over the measured table.
+    import os as _os2
+    down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "auto")
+    budget_mb = None
+    if down_mode == "auto":
+        down_mode, budget_mb = _auto_down_mode(up, h=h, c=n * c)
+    if _os2.environ.get("SG3TPU_FLRELU_BUDGET_MB"):
+        budget_mb = None  # explicit env budget wins inside _pick_tiles
     # Output lengths (for tile clamping) from the composition formula.
     lo_h = (h * up + py0 + py1 - (len(fu_c) - 1) - (td_h - 1) + 1) // 2
     lo_w = (w * up + px0 + px1 - (len(fu_c) - 1) - (td_w - 1) + 1) // 2
     tm, tw = _pick_tiles(up, len(fu_c), max(td_h, td_w), c_block, esize,
-                         w_align=w_align, len_out_h=lo_h, len_out_w=lo_w)
+                         w_align=w_align, len_out_h=lo_h, len_out_w=lo_w,
+                         budget=None if budget_mb is None
+                         else budget_mb * 2 ** 20)
     plan_h = _AxisPlan(h, tm, fu_c, td_h, up, py0, py1)
     plan_w = _AxisPlan(w, tw, fu_c, td_w, up, px0, px1, align=w_align)
 
@@ -880,15 +926,13 @@ def fused_filtered_lrelu(
         k_clamp = None if clamp is None else float(clamp) / k_gain
         k_gain = 1.0
 
-    # Down-pass engine: 'vpu' (tap FMA chains, default) or 'mxu' / 'mxu_bf16'
-    # (banded dot_generals — the down matrices ride the systolic array; the
-    # banding waste ~Q/taps is repaid by the MXU:VPU peak ratio). 'mxu' keeps
-    # f32 operands at HIGHEST precision for fp32 layers / DEFAULT for bf16
-    # layers; 'mxu_bf16' casts planes+matrices to bf16 (native MXU pass).
-    down_mode = _os2.environ.get("SG3TPU_FLRELU_DOWN", "auto")
+    # Down-pass engine (resolved above, before tile planning): 'vpu' (tap
+    # FMA chains) or 'mxu' / 'mxu_shared' / '*_bf16' (banded dot_generals —
+    # the down matrices ride the systolic array; the banding waste ~Q/taps
+    # is repaid by the MXU:VPU peak ratio). 'mxu*' keeps f32 operands at
+    # HIGHEST precision for fp32 layers / DEFAULT for bf16 layers;
+    # '*_bf16' casts planes+matrices to bf16 (native MXU pass).
     up_mode = _os2.environ.get("SG3TPU_FLRELU_UP", "vpu")
-    if down_mode == "auto":
-        down_mode = _auto_down_mode(up)
     classes = max(up // 2, 1)
     mxu_kw = {}
     extra = []  # (name, np matrix) in kernel-operand order

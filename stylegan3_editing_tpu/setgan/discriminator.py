@@ -109,10 +109,17 @@ class FeatureProjector(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
-        module = resolve_backbone(self.backbone)[0]
+        # resolve_backbone returns either a Module CLASS (BACKBONES dict) or
+        # a zero-arg registry factory — construct first, then remat the
+        # CALL: nn.remat over the factory itself is a TypeError for
+        # factories (flax treats plain functions as lifted transforms whose
+        # first argument must be a Module — the registry-backbone crash the
+        # round-5c SetGAN stage hit).
+        backbone = resolve_backbone(self.backbone)[0](name="backbone")
         if self.remat:
-            module = nn.remat(module)
-        feats = module(name="backbone")(x)
+            feats = nn.remat(lambda m, xx: m(xx))(backbone, x)
+        else:
+            feats = backbone(x)
         if self.backbone == "vgg16_proj":
             feats = feats[1:]  # 4 stages: /2../16
         if self.proj_type == 0:

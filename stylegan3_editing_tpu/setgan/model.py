@@ -154,6 +154,13 @@ class SetGAN(nn.Module):
     # IR(-SE) trunk depth for the IRSE encoder families (reference fixes 50;
     # 8 = the CI/dryrun minimal trunk, models/backbones/irse.get_blocks).
     encoder_num_layers: int = 50
+    # Rematerialize the reference-set encoder: its B·R×256² IR-SE trunk
+    # activations ([B·R,256,256,64] fp32 stem planes ×3, 2.3× layout
+    # padding) are the measured HBM floor that keeps the canonical
+    # batch 4/chip from fitting 16 GB (round-5g memory breakdown) — with
+    # remat they live only inside the encoder's backward segment, after
+    # the decoder/D stacks are freed. Costs one extra encoder forward.
+    remat_encoder: bool = False
 
     def setup(self):
         from ..models.encoders.restyle import ENCODER_TYPES
@@ -177,6 +184,18 @@ class SetGAN(nn.Module):
     @property
     def n_styles(self) -> int:
         return self._num_ws
+
+    def _encode(self, imgs: jax.Array, train: bool) -> jax.Array:
+        """Encoder call, optionally rematerialized (`remat_encoder`).
+
+        Construct-then-remat-the-CALL — the same flax lifted-transform rule
+        as FeatureProjector (setgan/discriminator.py): `train` stays a
+        closed-over trace-time constant, the module rides as an argument.
+        """
+        if self.remat_encoder:
+            return nn.remat(lambda m, xx: m(xx, train=train))(
+                self.encoder, imgs)
+        return self.encoder(imgs, train=train)
 
     def __call__(
         self,
@@ -219,7 +238,7 @@ class SetGAN(nn.Module):
             codes = jnp.broadcast_to(
                 avg_codes, (n,) + avg_codes.shape[1:])
             for i in range(self.restyle_iters):
-                delta = self.encoder(
+                delta = self._encode(
                     jnp.concatenate([imgs, y.astype(imgs.dtype)], axis=-1),
                     train=train)
                 codes = codes + delta
@@ -229,7 +248,7 @@ class SetGAN(nn.Module):
                                                 force_fp32=force_fp32),
                         enc_res)
         else:
-            codes = self.encoder(imgs, train=train)  # [B·R, n_styles, D]
+            codes = self._encode(imgs, train=train)  # [B·R, n_styles, D]
         if self.mean_center:
             codes = codes - latent_avg[None, None, :]
         codes = to_set(codes, bs)  # [B, R, n_styles, D]

@@ -91,6 +91,11 @@ class SetGANTrainConfig:
     # the memory lever that fits the canonical batch 4/chip into 16 GB v5e
     # HBM (VERDICT r4 #4). Costs one extra trunk forward per backward.
     d_remat_features: bool = False
+    # Remat the reference-set encoder trunk — the OTHER half of the
+    # batch-4/chip memory fix: the round-5g breakdown puts the HBM floor in
+    # the B·R×256² IR-SE activations, not the D trunks (see SetGAN.
+    # remat_encoder). Costs one extra encoder forward per backward.
+    g_remat_encoder: bool = False
     # Superres phase (reference train_setgan.py:360-361 + loss.py:117-121):
     # the decoder is grown from a pretrained stem and ONLY its head layers
     # train — decoder mapping + stem synthesis layers freeze (encoder /
@@ -153,7 +158,8 @@ class SetGANTrainer:
                         use_temperature=cfg.use_temperature,
                         disable_style_concat=cfg.disable_style_concat,
                         encoder_type=cfg.encoder_type,
-                        encoder_num_layers=cfg.encoder_num_layers)
+                        encoder_num_layers=cfg.encoder_num_layers,
+                        remat_encoder=cfg.g_remat_encoder)
         interp224 = (cfg.d_interp224 if cfg.d_interp224 is not None
                      else decoder_cfg.img_resolution < 224)
         self.D = ProjectedSetDiscriminator(

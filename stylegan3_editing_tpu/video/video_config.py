@@ -34,6 +34,11 @@ class VideoConfig:
     n_iters_per_batch: int = 3
     batch_size: int = 4
     fps: float = 30.0
+    # Decode ReStyle iterations with the generator's bf16 layers instead of
+    # the reference's force_fp32 protocol (psp3.py decode) — NVIDIA's own
+    # SG3 inference default; halves 1024² decode HBM and lets frame batches
+    # > 2 fit a 16 GB chip. Final edited renders stay fp32 either way.
+    bf16_decode: bool = False
 
     # FOV expansion (left, right, top, bottom pixels).
     expansion_amounts: Tuple[int, int, int, int] = (0, 0, 0, 0)

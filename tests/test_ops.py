@@ -412,19 +412,32 @@ def test_fused_filtered_lrelu_mxu_down_pass():
 
 
 def test_flrelu_auto_engine_rule(monkeypatch):
-    """The 'auto' down-engine default resolves per the round-4 chip
-    measurements (BASELINE.md MXU shootout): banded-MXU for up=2 on TPU,
-    VPU tap chains for up=4 and on non-TPU backends."""
+    """The 'auto' down-engine default resolves per the round-4/5 chip
+    measurements (BASELINE.md MXU shootouts): banded-MXU for up=2 on TPU,
+    VPU tap chains for up=4 and on non-TPU backends — with the round-5
+    phase-shared exceptions on the measured-winner SG3-R geometries
+    (L11 at any batch; L9/L10 at the bench batch, with L10 on 18 MB
+    tiles). Keys are the post-fold (h, n·C) the dispatch sees."""
     import math
     import os
 
     from stylegan3_editing_tpu.ops import pallas_flrelu as pf
 
-    assert pf._auto_down_mode(2) == "vpu"  # CPU backend in tests
-    assert pf._auto_down_mode(4) == "vpu"
+    assert pf._auto_down_mode(2)[0] == "vpu"  # CPU backend in tests
+    assert pf._auto_down_mode(4)[0] == "vpu"
     monkeypatch.setattr(pf.jax, "default_backend", lambda: "tpu")
-    assert pf._auto_down_mode(2) == "mxu"
-    assert pf._auto_down_mode(4) == "vpu"
+    assert pf._auto_down_mode(2) == ("mxu", None)
+    assert pf._auto_down_mode(4) == ("vpu", None)
+    # Round-5 measured-winner geometries (keys = the REAL margin-extended
+    # SG3-R input canvases: L11 in 1044², L9 in 276², L10 in 532²):
+    assert pf._auto_down_mode(2, h=1044, c=8 * 102) == ("mxu_shared", None)
+    assert pf._auto_down_mode(2, h=1044, c=102) == ("mxu_shared", None)
+    assert pf._auto_down_mode(2, h=1044, c=8 * 64) == ("mxu", None)  # L12/13
+    assert pf._auto_down_mode(4, h=276, c=8 * 256) == ("mxu_shared", None)
+    assert pf._auto_down_mode(4, h=276, c=2 * 256) == ("mxu_shared", None)
+    assert pf._auto_down_mode(4, h=276, c=256) == ("vpu", None)  # b1
+    assert pf._auto_down_mode(4, h=532, c=8 * 161) == ("mxu_shared", 18)
+    assert pf._auto_down_mode(4, h=532, c=2 * 161) == ("vpu", None)
     monkeypatch.undo()
 
     # Env unset → auto; on CPU that is the VPU path and must match an

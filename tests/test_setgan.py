@@ -118,6 +118,34 @@ def test_setgan_forward(setgan_model):
     assert bool(jnp.isfinite(imgs).all())
 
 
+def test_setgan_remat_encoder_equivalence():
+    """remat_encoder must keep params, outputs, and input grads identical —
+    it only changes what the backward stores (encoder-segment recompute;
+    the measured batch-4/chip HBM floor, round-5g breakdown). Uses the
+    minimal IR-SE trunk (encoder_num_layers=8) — the real encoder family."""
+    cfg = tiny_cfg()
+    x = jnp.asarray(RNG.randn(1, 2, 64, 64, 3).astype(np.float32))
+    z = jnp.asarray(RNG.randn(1, 1, cfg.z_dim).astype(np.float32))
+    outs = {}
+    for remat in (False, True):
+        model = SetGAN(cfg, attn_layers=1, encoder_num_layers=8,
+                       remat_encoder=remat)
+        v = model.init(jax.random.PRNGKey(0), x, z,
+                       latent_avg=jnp.zeros((cfg.w_dim,)))
+        latent_avg = v["ema"]["decoder"]["mapping"]["w_avg"]
+
+        def loss(xx, _m=model, _v=v, _avg=latent_avg):
+            return jnp.sum(_m.apply(_v, xx, z, latent_avg=_avg))
+
+        outs[remat] = (v, float(loss(x)), jax.grad(loss)(x))
+    assert (jax.tree_util.tree_structure(outs[False][0])
+            == jax.tree_util.tree_structure(outs[True][0]))
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[False][2]),
+                               np.asarray(outs[True][2]), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_setgan_restyle_encoder_mode():
     """restyle_mode='encoder' (reference restyle.py:19-41 + setgan.py:100):
     6-channel iterative reference encoding runs end-to-end and the iteration
@@ -167,9 +195,14 @@ def test_projected_set_discriminator_remat_features():
     x = jnp.asarray(RNG.randn(1, 2, 32, 32, 3).astype(np.float32))
     outs = {}
     for remat in (False, True):
+        # tiny_proj is a Module CLASS; tf_efficientnet_lite0 resolves to a
+        # registry factory FUNCTION — the case nn.remat-over-the-factory
+        # crashed on ("missing 1 required positional argument: 'self'",
+        # round-5c SetGAN stage). Both must behave identically under remat.
         d = ProjectedSetDiscriminator(latent_size=32, num_discs=2,
                                       interp224=False, diffaug=False,
-                                      backbones=("tiny_proj",),
+                                      backbones=("tiny_proj",
+                                                 "tf_efficientnet_lite0"),
                                       remat_features=remat)
         v = d.init(jax.random.PRNGKey(0), r, x)
         loss = lambda xx, _d=d, _v=v: jnp.sum(_d.apply(_v, r, xx))
